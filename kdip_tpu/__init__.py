@@ -1,0 +1,15 @@
+"""kdip_tpu — TPU-native framework for diffusion-based inverse problems.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+`xypeng9903/k-diffusion-inverse-problems` (ICML 2024: "Improving Diffusion
+Models for Inverse Problems Using Optimal Posterior Covariance"):
+zero-shot posterior sampling for noisy linear inverse problems (inpainting,
+deblurring, super-resolution) with principled posterior covariance, unified
+guidance (Type I/II, DPS, PiGDM, DiffPIR, TMPD, STSL), Karras samplers, and
+the ADM/k-diffusion model families — designed TPU-first: scanned samplers,
+vjp-based guidance, FFT operators in XLA, and mesh sharding for scale-out.
+"""
+
+from . import brownian, diffusion, precond, samplers, schedules  # noqa: F401
+
+__version__ = "0.1.0"

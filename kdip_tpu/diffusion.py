@@ -1,0 +1,262 @@
+"""Discrete DDPM coefficient tables and posterior math.
+
+TPU-native equivalent of the reference's `guided_diffusion/gaussian_diffusion.py`
+and `guided_diffusion/respace.py`. Instead of a stateful `GaussianDiffusion`
+class, the schedule is a pytree of precomputed `jnp` coefficient tables
+(`DiffusionTables`) plus pure functions operating on it — everything folds
+into jitted XLA programs with static shapes and no host round-trips.
+
+Coefficient definitions mirror guided_diffusion/gaussian_diffusion.py:118-169;
+timestep respacing mirrors guided_diffusion/respace.py:7-113.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_named_beta_schedule(schedule_name: str, num_diffusion_timesteps: int) -> np.ndarray:
+    """Named beta schedules (ref: gaussian_diffusion.py:18-42). float64 numpy."""
+    if schedule_name == "linear":
+        scale = 1000 / num_diffusion_timesteps
+        beta_start = scale * 0.0001
+        beta_end = scale * 0.02
+        return np.linspace(beta_start, beta_end, num_diffusion_timesteps, dtype=np.float64)
+    elif schedule_name == "cosine":
+        def alpha_bar(t):
+            return math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+        return betas_for_alpha_bar(num_diffusion_timesteps, alpha_bar)
+    else:
+        raise NotImplementedError(f"unknown beta schedule: {schedule_name}")
+
+
+def betas_for_alpha_bar(num_diffusion_timesteps: int, alpha_bar, max_beta: float = 0.999) -> np.ndarray:
+    """Discretize an alpha_bar function into betas (ref: gaussian_diffusion.py:45-62)."""
+    betas = []
+    for i in range(num_diffusion_timesteps):
+        t1 = i / num_diffusion_timesteps
+        t2 = (i + 1) / num_diffusion_timesteps
+        betas.append(min(1 - alpha_bar(t2) / alpha_bar(t1), max_beta))
+    return np.array(betas)
+
+
+def space_timesteps(num_timesteps: int, section_counts: Union[str, Sequence[int]]) -> set:
+    """Subsample timesteps from the original process (ref: respace.py:7-60)."""
+    if isinstance(section_counts, str):
+        if section_counts.startswith("ddim"):
+            desired_count = int(section_counts[len("ddim"):])
+            for i in range(1, num_timesteps):
+                if len(range(0, num_timesteps, i)) == desired_count:
+                    return set(range(0, num_timesteps, i))
+            raise ValueError(f"cannot create exactly {num_timesteps} steps with an integer stride")
+        section_counts = [int(x) for x in section_counts.split(",")]
+    size_per = num_timesteps // len(section_counts)
+    extra = num_timesteps % len(section_counts)
+    start_idx = 0
+    all_steps = []
+    for i, section_count in enumerate(section_counts):
+        size = size_per + (1 if i < extra else 0)
+        if size < section_count:
+            raise ValueError(f"cannot divide section of {size} steps into {section_count}")
+        if section_count <= 1:
+            frac_stride = 1
+        else:
+            frac_stride = (size - 1) / (section_count - 1)
+        cur_idx = 0.0
+        taken_steps = []
+        for _ in range(section_count):
+            taken_steps.append(start_idx + round(cur_idx))
+            cur_idx += frac_stride
+        all_steps += taken_steps
+        start_idx += size
+    return set(all_steps)
+
+
+class DiffusionTables(NamedTuple):
+    """Precomputed DDPM coefficient tables (all shape [T], float32 jnp).
+
+    Mirrors the arrays built in gaussian_diffusion.py:133-169 (computed in
+    float64 then stored float32) plus the SpacedDiffusion timestep map
+    (respace.py:72-86). Being a NamedTuple it is a pytree: it can be closed
+    over by jitted functions or passed as an argument.
+    """
+    betas: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+    alphas_cumprod_prev: jnp.ndarray
+    sqrt_alphas_cumprod: jnp.ndarray
+    sqrt_one_minus_alphas_cumprod: jnp.ndarray
+    sqrt_recip_alphas_cumprod: jnp.ndarray
+    sqrt_recipm1_alphas_cumprod: jnp.ndarray
+    posterior_variance: jnp.ndarray
+    posterior_log_variance_clipped: jnp.ndarray
+    posterior_mean_coef1: jnp.ndarray
+    posterior_mean_coef2: jnp.ndarray
+    log_betas: jnp.ndarray
+    # EDM-style sigmas of each discrete timestep: sqrt((1-ac)/ac)
+    # (ref: k_diffusion/external.py:88-93)
+    sigmas: jnp.ndarray
+    log_sigmas: jnp.ndarray
+    # Map from respaced index -> original timestep index (respace.py:74-84).
+    timestep_map: jnp.ndarray
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.betas.shape[0]
+
+
+def make_tables(betas: np.ndarray, timestep_map=None) -> DiffusionTables:
+    """Builds coefficient tables from betas in float64, stores as float32 jnp."""
+    betas = np.asarray(betas, dtype=np.float64)
+    assert betas.ndim == 1 and (betas > 0).all() and (betas <= 1).all()
+    alphas = 1.0 - betas
+    alphas_cumprod = np.cumprod(alphas, axis=0)
+    alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
+    posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+    posterior_log_variance_clipped = np.log(np.append(posterior_variance[1], posterior_variance[1:]))
+    posterior_mean_coef1 = betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+    posterior_mean_coef2 = (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
+    sigmas = np.sqrt((1 - alphas_cumprod) / alphas_cumprod)
+    if timestep_map is None:
+        timestep_map = np.arange(len(betas))
+    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    return DiffusionTables(
+        betas=f32(betas),
+        alphas_cumprod=f32(alphas_cumprod),
+        alphas_cumprod_prev=f32(alphas_cumprod_prev),
+        sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
+        sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
+        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
+        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1)),
+        posterior_variance=f32(posterior_variance),
+        posterior_log_variance_clipped=f32(posterior_log_variance_clipped),
+        posterior_mean_coef1=f32(posterior_mean_coef1),
+        posterior_mean_coef2=f32(posterior_mean_coef2),
+        log_betas=f32(np.log(betas)),
+        sigmas=f32(sigmas),
+        log_sigmas=f32(np.log(sigmas)),
+        timestep_map=jnp.asarray(np.asarray(timestep_map), dtype=jnp.int32),
+    )
+
+
+def make_diffusion(steps: int = 1000, noise_schedule: str = "linear",
+                   timestep_respacing: Union[str, Sequence[int], None] = None) -> DiffusionTables:
+    """Builds (possibly respaced) tables. Equivalent of
+    script_util.create_gaussian_diffusion (ref: script_util.py:386-424) +
+    SpacedDiffusion beta rewriting (ref: respace.py:77-86)."""
+    betas = get_named_beta_schedule(noise_schedule, steps)
+    if not timestep_respacing:
+        return make_tables(betas)
+    use_timesteps = space_timesteps(steps, timestep_respacing)
+    base_ac = np.cumprod(1.0 - betas)
+    last_alpha_cumprod = 1.0
+    new_betas, timestep_map = [], []
+    for i, ac in enumerate(base_ac):
+        if i in use_timesteps:
+            new_betas.append(1 - ac / last_alpha_cumprod)
+            last_alpha_cumprod = ac
+            timestep_map.append(i)
+    return make_tables(np.array(new_betas), np.array(timestep_map))
+
+
+def extract(table: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Gathers table[t] (t: [B] int) and appends dims for broadcasting against
+    an `ndim`-dimensional batch tensor (ref: gaussian_diffusion.py:895-907)."""
+    out = table[t]
+    return out.reshape(out.shape + (1,) * (ndim - out.ndim))
+
+
+def q_sample(tables: DiffusionTables, x_start, t, noise):
+    """Samples q(x_t | x_0) (ref: gaussian_diffusion.py:188-206)."""
+    nd = x_start.ndim
+    return (extract(tables.sqrt_alphas_cumprod, t, nd) * x_start
+            + extract(tables.sqrt_one_minus_alphas_cumprod, t, nd) * noise)
+
+
+def q_posterior_mean_variance(tables: DiffusionTables, x_start, x_t, t):
+    """Mean/variance of q(x_{t-1} | x_t, x_0) (ref: gaussian_diffusion.py:208-230)."""
+    nd = x_t.ndim
+    posterior_mean = (extract(tables.posterior_mean_coef1, t, nd) * x_start
+                      + extract(tables.posterior_mean_coef2, t, nd) * x_t)
+    posterior_variance = extract(tables.posterior_variance, t, nd)
+    posterior_log_variance = extract(tables.posterior_log_variance_clipped, t, nd)
+    return posterior_mean, posterior_variance, posterior_log_variance
+
+
+def predict_xstart_from_eps(tables: DiffusionTables, x_t, t, eps):
+    """(ref: gaussian_diffusion.py:328-333)"""
+    nd = x_t.ndim
+    return (extract(tables.sqrt_recip_alphas_cumprod, t, nd) * x_t
+            - extract(tables.sqrt_recipm1_alphas_cumprod, t, nd) * eps)
+
+
+def predict_eps_from_xstart(tables: DiffusionTables, x_t, t, pred_xstart):
+    """(ref: gaussian_diffusion.py:345-349)"""
+    nd = x_t.ndim
+    return (extract(tables.sqrt_recip_alphas_cumprod, t, nd) * x_t
+            - pred_xstart) / extract(tables.sqrt_recipm1_alphas_cumprod, t, nd)
+
+
+def learned_range_variance(tables: DiffusionTables, model_var_values, t):
+    """LEARNED_RANGE variance interpolation (ref: gaussian_diffusion.py:262-276).
+
+    model_var_values in [-1, 1] interpolates log-variance between
+    posterior_log_variance_clipped (min) and log(betas) (max).
+    Returns (model_variance, model_log_variance).
+    """
+    nd = model_var_values.ndim
+    min_log = extract(tables.posterior_log_variance_clipped, t, nd)
+    max_log = extract(tables.log_betas, t, nd)
+    frac = (model_var_values + 1) / 2
+    model_log_variance = frac * max_log + (1 - frac) * min_log
+    return jnp.exp(model_log_variance), model_log_variance
+
+
+def p_mean_variance(tables: DiffusionTables, model_output, x, t, clip_denoised: bool = True,
+                    learn_sigma: bool = True):
+    """p(x_{t-1} | x_t) stats from raw eps-model output
+    (ref: gaussian_diffusion.py:232-326, EPSILON mean type, LEARNED_RANGE var).
+
+    `model_output`: raw UNet output; with `learn_sigma` its channel dim is 2C
+    (eps concat var values). Channels-last (NHWC) layout. `t` is the respaced
+    integer timestep index [B] — the timestep_map remapping for the model call
+    itself (respace.py:116-128) is handled by the model adapter.
+    Returns dict(mean, variance, log_variance, pred_xstart).
+    """
+    if learn_sigma:
+        C = x.shape[-1]
+        eps, model_var_values = model_output[..., :C], model_output[..., C:]
+        model_variance, model_log_variance = learned_range_variance(tables, model_var_values, t)
+    else:
+        eps = model_output
+        nd = x.ndim
+        # FIXED_LARGE (ref: gaussian_diffusion.py:278-291)
+        fl = jnp.concatenate([tables.posterior_variance[1:2], tables.betas[1:]])
+        model_variance = extract(fl, t, nd)
+        model_log_variance = jnp.log(model_variance)
+    pred_xstart = predict_xstart_from_eps(tables, x, t, eps)
+    if clip_denoised:
+        pred_xstart = jnp.clip(pred_xstart, -1, 1)
+    model_mean, _, _ = q_posterior_mean_variance(tables, pred_xstart, x, t)
+    return {
+        "mean": model_mean,
+        "variance": model_variance,
+        "log_variance": model_log_variance,
+        "pred_xstart": pred_xstart,
+    }
+
+
+def convert_x0_var(tables: DiffusionTables, model_variance, t):
+    """"Convert" posterior covariance, Eq. (22) of the paper
+    (ref: condition/condition.py:241-248).
+
+    x0_var = (reverse_variance - posterior_variance[t]) / posterior_mean_coef1[t]^2,
+    clipped to >= 1e-6.
+    """
+    nd = model_variance.ndim
+    pv = extract(tables.posterior_variance, t, nd)
+    c1 = extract(tables.posterior_mean_coef1, t, nd)
+    return jnp.clip((model_variance - pv) / c1 ** 2, min=1e-6)

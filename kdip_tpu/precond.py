@@ -1,0 +1,119 @@
+"""Denoiser preconditioning and model adapters.
+
+TPU-native equivalent of the reference's `k_diffusion/external.py` and
+`k_diffusion/layers.py:13-84`: maps raw network outputs (eps / v / x0+logvar)
+into the continuous-sigma Karras denoiser API `D(x, sigma) -> x0`.
+
+Instead of nn.Module wrappers, adapters here are pure functions of
+(params, x, sigma) built from a `model_apply` callable — they compose freely
+with jax.jit / jax.vjp / shard_map.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from .schedules import append_dims
+
+
+# ---------------------------------------------------------------------------
+# EDM scalings
+# ---------------------------------------------------------------------------
+
+def edm_scalings(sigma, sigma_data: float = 1.0):
+    """c_skip, c_out, c_in of Karras et al. (ref: k_diffusion/layers.py:21-25)."""
+    c_skip = sigma_data ** 2 / (sigma ** 2 + sigma_data ** 2)
+    c_out = sigma * sigma_data / (sigma ** 2 + sigma_data ** 2) ** 0.5
+    c_in = 1 / (sigma ** 2 + sigma_data ** 2) ** 0.5
+    return c_skip, c_out, c_in
+
+
+def v_scalings(sigma, sigma_data: float = 1.0):
+    """Scalings for v-prediction models (ref: k_diffusion/external.py:18-22)."""
+    c_skip = sigma_data ** 2 / (sigma ** 2 + sigma_data ** 2)
+    c_out = -sigma * sigma_data / (sigma ** 2 + sigma_data ** 2) ** 0.5
+    c_in = 1 / (sigma ** 2 + sigma_data ** 2) ** 0.5
+    return c_skip, c_out, c_in
+
+
+def eps_scalings(sigma, sigma_data: float = 1.0):
+    """Scalings for discrete eps models (ref: k_diffusion/external.py:97-100)."""
+    c_out = -sigma
+    c_in = 1 / (sigma ** 2 + sigma_data ** 2) ** 0.5
+    return c_out, c_in
+
+
+# ---------------------------------------------------------------------------
+# sigma <-> t for discrete schedules
+# ---------------------------------------------------------------------------
+
+def sigma_to_t(log_sigmas: jnp.ndarray, sigma, quantize: bool = False):
+    """Continuous interpolated timestep for a sigma
+    (ref: k_diffusion/external.py:67-79).
+
+    log_sigmas: [T] ascending log-sigma table. Returns float t (or int if
+    quantize) with the same shape as `sigma`.
+    """
+    sigma = jnp.asarray(sigma)
+    log_sigma = jnp.log(sigma)
+    dists = log_sigma[..., None] - log_sigmas  # broadcast over trailing T dim
+    if quantize:
+        return jnp.argmin(jnp.abs(dists), axis=-1).astype(jnp.int32)
+    T = log_sigmas.shape[0]
+    low_idx = jnp.clip(jnp.argmax(jnp.cumsum((dists >= 0).astype(jnp.int32), axis=-1), axis=-1),
+                       0, T - 2)
+    high_idx = low_idx + 1
+    low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+    w = jnp.clip((low - log_sigma) / (low - high), 0, 1)
+    return (1 - w) * low_idx + w * high_idx
+
+
+def t_to_sigma(log_sigmas: jnp.ndarray, t):
+    """Inverse of sigma_to_t (ref: k_diffusion/external.py:81-85)."""
+    t = jnp.asarray(t, dtype=jnp.float32)
+    low_idx = jnp.floor(t).astype(jnp.int32)
+    high_idx = jnp.ceil(t).astype(jnp.int32)
+    w = t - jnp.floor(t)
+    log_sigma = (1 - w) * log_sigmas[low_idx] + w * log_sigmas[high_idx]
+    return jnp.exp(log_sigma)
+
+
+# ---------------------------------------------------------------------------
+# Denoiser adapters (pure-function factories)
+# ---------------------------------------------------------------------------
+
+def make_edm_denoiser(model_apply: Callable, sigma_data: float = 1.0) -> Callable:
+    """EDM-preconditioned denoiser (ref: k_diffusion/layers.py:13-36).
+
+    model_apply(params, x_scaled, sigma, **kw) -> model output.
+    Returns denoise(params, x, sigma, **kw) -> x0.
+    """
+    def denoise(params, x, sigma, **kwargs):
+        c_skip, c_out, c_in = [append_dims(c, x.ndim) for c in edm_scalings(sigma, sigma_data)]
+        return model_apply(params, x * c_in, sigma, **kwargs) * c_out + x * c_skip
+    return denoise
+
+
+def make_v_denoiser(model_apply: Callable, sigma_data: float = 1.0) -> Callable:
+    """v-diffusion denoiser (ref: k_diffusion/external.py:10-39)."""
+    def denoise(params, x, sigma, **kwargs):
+        c_skip, c_out, c_in = [append_dims(c, x.ndim) for c in v_scalings(sigma, sigma_data)]
+        t = jnp.arctan(sigma) / jnp.pi * 2
+        return model_apply(params, x * c_in, t, **kwargs) * c_out + x * c_skip
+    return denoise
+
+
+def make_discrete_eps_denoiser(model_apply: Callable, log_sigmas: jnp.ndarray,
+                               quantize: bool = False) -> Callable:
+    """Discrete-schedule eps-model denoiser (ref: k_diffusion/external.py:88-114).
+
+    model_apply(params, x_scaled, t, **kw) -> eps (already sliced to C channels).
+    """
+    def denoise(params, x, sigma, **kwargs):
+        c_out, c_in = [append_dims(c, x.ndim) for c in eps_scalings(sigma)]
+        t = sigma_to_t(log_sigmas, sigma, quantize=quantize)
+        eps = model_apply(params, x * c_in, t, **kwargs)
+        return x + eps * c_out
+    return denoise
