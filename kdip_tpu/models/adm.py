@@ -1,0 +1,208 @@
+"""ADM (guided-diffusion) UNet in Flax, TPU-native.
+
+Re-implementation of the OpenAI guided-diffusion `UNetModel`
+(ref: guided_diffusion/unet.py:398-668) with identical topology and math but
+TPU-first design choices: NHWC layout, fp32 GroupNorm statistics with
+configurable (bfloat16) compute dtype for the torso, attention as MXU einsum,
+and a functional forward compatible with jit/vjp/scan.
+
+The parameter tree mirrors the reference module structure one-to-one
+(`input_blocks_{i}_{j}`, `middle_block_{j}`, `output_blocks_{i}_{j}`,
+`time_embed_{1,2}`, `out_norm`/`out_conv`) so checkpoint conversion from the
+published `.pt` files is a mechanical key/layout mapping (see kdip_tpu/ckpt.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import field
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import (AttentionBlock, Downsample, GroupNorm32, ResBlock,
+                     Upsample, conv3x3, timestep_embedding)
+
+
+class ADMUNet(nn.Module):
+    """The full UNet with attention and timestep embedding
+    (ref: guided_diffusion/unet.py:398-668).
+
+    Layer list construction (levels, attention placement, up/downsampling)
+    follows unet.py:482-618 exactly so that state dicts map 1:1.
+    """
+    image_size: int = 256
+    in_channels: int = 3
+    model_channels: int = 128
+    out_channels: int = 6
+    num_res_blocks: int = 1
+    attention_resolutions: Tuple[int, ...] = (16,)  # downsample rates
+    dropout: float = 0.0
+    channel_mult: Tuple[float, ...] = (1, 1, 2, 2, 4, 4)
+    conv_resample: bool = True
+    num_classes: Optional[int] = None
+    num_heads: int = 4
+    num_head_channels: int = 64
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = True
+    resblock_updown: bool = True
+    use_new_attention_order: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        ch_mult = self.channel_mult
+        mc = self.model_channels
+        time_embed_dim = mc * 4
+        heads_up = self.num_heads if self.num_heads_upsample == -1 else self.num_heads_upsample
+
+        self.time_embed_1 = nn.Dense(time_embed_dim, dtype=self.dtype,
+                                     param_dtype=jnp.float32)
+        self.time_embed_2 = nn.Dense(time_embed_dim, dtype=self.dtype,
+                                     param_dtype=jnp.float32)
+        if self.num_classes is not None:
+            self.label_emb = nn.Embed(self.num_classes, time_embed_dim,
+                                      param_dtype=jnp.float32)
+
+        def res(ch, out_ch=None, up=False, down=False):
+            return ResBlock(channels=ch, emb_channels=time_embed_dim,
+                            dropout=self.dropout, out_channels=out_ch,
+                            use_scale_shift_norm=self.use_scale_shift_norm,
+                            up=up, down=down, dtype=self.dtype)
+
+        def attn(ch, heads):
+            return AttentionBlock(channels=ch, num_heads=heads,
+                                  num_head_channels=self.num_head_channels,
+                                  use_new_attention_order=self.use_new_attention_order,
+                                  dtype=self.dtype)
+
+        # --- encoder (ref: unet.py:482-539) ---
+        ch = input_ch = int(ch_mult[0] * mc)
+        input_blocks = [[conv3x3(ch, self.dtype)]]
+        input_block_chans = [ch]
+        ds = 1
+        for level, mult in enumerate(ch_mult):
+            for _ in range(self.num_res_blocks):
+                layers = [res(ch, int(mult * mc))]
+                ch = int(mult * mc)
+                if ds in self.attention_resolutions:
+                    layers.append(attn(ch, self.num_heads))
+                input_blocks.append(layers)
+                input_block_chans.append(ch)
+            if level != len(ch_mult) - 1:
+                if self.resblock_updown:
+                    input_blocks.append([res(ch, ch, down=True)])
+                else:
+                    input_blocks.append([Downsample(ch, self.conv_resample,
+                                                    out_channels=ch, dtype=self.dtype)])
+                input_block_chans.append(ch)
+                ds *= 2
+        self.input_blocks = input_blocks
+
+        # --- middle (ref: unet.py:541-565) ---
+        self.middle_block = [res(ch), attn(ch, self.num_heads), res(ch)]
+
+        # --- decoder (ref: unet.py:568-612) ---
+        output_blocks = []
+        for level, mult in list(enumerate(ch_mult))[::-1]:
+            for i in range(self.num_res_blocks + 1):
+                ich = input_block_chans.pop()
+                layers = [res(ch + ich, int(mc * mult))]
+                ch = int(mc * mult)
+                if ds in self.attention_resolutions:
+                    layers.append(attn(ch, heads_up))
+                if level and i == self.num_res_blocks:
+                    if self.resblock_updown:
+                        layers.append(res(ch, ch, up=True))
+                    else:
+                        layers.append(Upsample(ch, self.conv_resample,
+                                               out_channels=ch, dtype=self.dtype))
+                    ds //= 2
+                output_blocks.append(layers)
+        self.output_blocks = output_blocks
+
+        # --- head (ref: unet.py:614-618) ---
+        self.out_norm = GroupNorm32()
+        self.out_conv = conv3x3(self.out_channels, self.dtype, zero_init=True)
+
+    def _apply_layers(self, layers, h, emb, deterministic):
+        for layer in layers:
+            if isinstance(layer, ResBlock):
+                h = layer(h, emb, deterministic=deterministic)
+            else:
+                h = layer(h)
+        return h
+
+    def __call__(self, x, timesteps, y=None, return_feature: bool = False,
+                 deterministic: bool = True):
+        """x: [B, H, W, C] NHWC in [-1, 1]; timesteps: [B] (may be fractional).
+
+        Returns [B, H, W, out_channels]; with return_feature also the
+        penultimate feature map (ref: unet.py:636-668).
+        """
+        assert (y is not None) == (self.num_classes is not None)
+        emb = timestep_embedding(timesteps, self.model_channels, dtype=self.dtype)
+        emb = self.time_embed_2(nn.silu(self.time_embed_1(emb)))
+        if self.num_classes is not None:
+            emb = emb + self.label_emb(y)
+
+        h = x.astype(self.dtype)
+        hs = []
+        for layers in self.input_blocks:
+            h = self._apply_layers(layers, h, emb, deterministic)
+            hs.append(h)
+        h = self._apply_layers(self.middle_block, h, emb, deterministic)
+        for layers in self.output_blocks:
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            h = self._apply_layers(layers, h, emb, deterministic)
+        h = h.astype(x.dtype)
+        out = self.out_conv(nn.silu(self.out_norm(h)))
+        out = out.astype(x.dtype)
+        if return_feature:
+            return out, h
+        return out
+
+
+def ffhq_unet(dtype=jnp.float32, dropout: float = 0.0) -> ADMUNet:
+    """FFHQ-256 config (ref: configs/test_ffhq.json:13-17 +
+    diffpir_utils/utils_model.py:353-381 defaults)."""
+    return ADMUNet(image_size=256, model_channels=128, num_res_blocks=1,
+                   attention_resolutions=(16,), channel_mult=(1, 1, 2, 2, 4, 4),
+                   num_heads=4, num_head_channels=64, use_scale_shift_norm=True,
+                   resblock_updown=True, out_channels=6, dropout=dropout, dtype=dtype)
+
+
+def imagenet_unet(dtype=jnp.float32, class_cond: bool = False,
+                  dropout: float = 0.0) -> ADMUNet:
+    """ImageNet-256 config (ref: configs/test_imagenet.json:8-12)."""
+    return ADMUNet(image_size=256, model_channels=256, num_res_blocks=2,
+                   attention_resolutions=(8, 16, 32), channel_mult=(1, 1, 2, 2, 4, 4),
+                   num_heads=4, num_head_channels=64, use_scale_shift_norm=True,
+                   resblock_updown=True, out_channels=6,
+                   num_classes=1000 if class_cond else None,
+                   dropout=dropout, dtype=dtype)
+
+
+def create_unet(image_size: int = 256, num_channels: int = 128, num_res_blocks: int = 1,
+                channel_mult: str = "", learn_sigma: bool = True, class_cond: bool = False,
+                attention_resolutions: str = "16", num_heads: int = 4,
+                num_head_channels: int = 64, num_heads_upsample: int = -1,
+                use_scale_shift_norm: bool = True, dropout: float = 0.0,
+                resblock_updown: bool = True, use_new_attention_order: bool = False,
+                dtype=jnp.float32) -> ADMUNet:
+    """Flag-compatible factory (ref: guided_diffusion/script_util.py:130-184)."""
+    if channel_mult == "":
+        channel_mult_t = {512: (0.5, 1, 1, 2, 2, 4, 4), 256: (1, 1, 2, 2, 4, 4),
+                          128: (1, 1, 2, 3, 4), 64: (1, 2, 3, 4)}[image_size]
+    else:
+        channel_mult_t = tuple(int(m) for m in channel_mult.split(","))
+    attention_ds = tuple(image_size // int(r) for r in attention_resolutions.split(","))
+    return ADMUNet(image_size=image_size, in_channels=3, model_channels=num_channels,
+                   out_channels=(6 if learn_sigma else 3), num_res_blocks=num_res_blocks,
+                   attention_resolutions=attention_ds, dropout=dropout,
+                   channel_mult=channel_mult_t,
+                   num_classes=(1000 if class_cond else None), num_heads=num_heads,
+                   num_head_channels=num_head_channels,
+                   num_heads_upsample=num_heads_upsample,
+                   use_scale_shift_norm=use_scale_shift_norm,
+                   resblock_updown=resblock_updown,
+                   use_new_attention_order=use_new_attention_order, dtype=dtype)

@@ -1,0 +1,205 @@
+"""NN primitives for the ADM UNet family (TPU-native, NHWC, Flax linen).
+
+Functional equivalents of `guided_diffusion/nn.py` and the blocks of
+`guided_diffusion/unet.py`, redesigned for TPU: channels-last layout (native
+for TPU convolutions), fp32 GroupNorm statistics with configurable compute
+dtype (bfloat16 torso like the reference's fp16 torso), and attention as
+batched einsums that XLA tiles onto the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """Sinusoidal timestep embeddings (ref: guided_diffusion/nn.py:103-121).
+
+    timesteps: [N] (possibly fractional). Returns [N, dim], cos-first order.
+    """
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate([embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+    return embedding.astype(dtype)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in float32 regardless of input dtype
+    (ref: guided_diffusion/nn.py:17-19, 93-100)."""
+    num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+                         dtype=jnp.float32, param_dtype=jnp.float32)(
+            x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+def conv3x3(features: int, dtype=jnp.float32, name: Optional[str] = None,
+            zero_init: bool = False, stride: int = 1) -> nn.Conv:
+    init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(features, (3, 3), strides=(stride, stride), padding=1,
+                   kernel_init=init,
+                   bias_init=nn.initializers.zeros,
+                   dtype=dtype, param_dtype=jnp.float32, name=name)
+
+
+def conv1x1(features: int, dtype=jnp.float32, name: Optional[str] = None,
+            zero_init: bool = False) -> nn.Conv:
+    init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(features, (1, 1),
+                   kernel_init=init, bias_init=nn.initializers.zeros,
+                   dtype=dtype, param_dtype=jnp.float32, name=name)
+
+
+class Upsample(nn.Module):
+    """2x nearest-neighbor upsample + optional 3x3 conv
+    (ref: guided_diffusion/unet.py:81-110)."""
+    channels: int
+    use_conv: bool = True
+    out_channels: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        assert C == self.channels
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.use_conv:
+            x = conv3x3(self.out_channels or self.channels, self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """2x downsample via strided 3x3 conv or 2x2 avg-pool
+    (ref: guided_diffusion/unet.py:113-140)."""
+    channels: int
+    use_conv: bool = True
+    out_channels: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        assert x.shape[-1] == self.channels
+        if self.use_conv:
+            return conv3x3(self.out_channels or self.channels, self.dtype,
+                           name="op", stride=2)(x)
+        assert (self.out_channels or self.channels) == self.channels
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class ResBlock(nn.Module):
+    """ADM residual block with timestep-embedding FiLM conditioning
+    (ref: guided_diffusion/unet.py:143-257)."""
+    channels: int
+    emb_channels: int
+    dropout: float = 0.0
+    out_channels: Optional[int] = None
+    use_conv: bool = False  # 3x3 skip instead of 1x1 when channels change
+    use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, deterministic: bool = True):
+        out_ch = self.out_channels or self.channels
+
+        def resample(h):
+            if self.up:
+                return jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+            if self.down:
+                return nn.avg_pool(h, (2, 2), strides=(2, 2))
+            return h
+
+        h = GroupNorm32(name="in_norm")(x)
+        h = nn.silu(h)
+        if self.up or self.down:
+            h = resample(h)
+            x = resample(x)
+        h = conv3x3(out_ch, self.dtype, name="in_conv")(h)
+
+        emb_out = nn.Dense(2 * out_ch if self.use_scale_shift_norm else out_ch,
+                           dtype=self.dtype, param_dtype=jnp.float32,
+                           name="emb_proj")(nn.silu(emb))
+        emb_out = emb_out[:, None, None, :].astype(h.dtype)
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            h = nn.silu(h)
+        else:
+            h = h + emb_out
+            h = GroupNorm32(name="out_norm")(h)
+            h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = conv3x3(out_ch, self.dtype, name="out_conv", zero_init=True)(h)
+
+        if out_ch == self.channels:
+            skip = x
+        elif self.use_conv:
+            skip = conv3x3(out_ch, self.dtype, name="skip")(x)
+        else:
+            skip = conv1x1(out_ch, self.dtype, name="skip")(x)
+        return skip + h
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention over flattened positions
+    (ref: guided_diffusion/unet.py:260-395).
+
+    Implements both head-split orders: "legacy" (split heads before qkv,
+    QKVAttentionLegacy, unet.py:330-356) and "new" (QKVAttention,
+    unet.py:363-391). Softmax in float32 as the reference does.
+    """
+    channels: int
+    num_heads: int = 1
+    num_head_channels: int = -1
+    use_new_attention_order: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        if self.num_head_channels == -1:
+            heads = self.num_heads
+        else:
+            assert C % self.num_head_channels == 0
+            heads = C // self.num_head_channels
+        ch = C // heads
+        T = H * W
+
+        h = x.reshape(B, T, C)
+        h_norm = GroupNorm32(name="norm")(h)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="qkv")(h_norm)  # [B, T, 3C]
+        if self.use_new_attention_order:
+            # split qkv first, then heads (unet.py:379-390)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, T, heads, ch)
+            k = k.reshape(B, T, heads, ch)
+            v = v.reshape(B, T, heads, ch)
+        else:
+            # split heads first, then qkv within each head (unet.py:346-355)
+            qkv = qkv.reshape(B, T, heads, 3 * ch)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        scale = 1 / math.sqrt(math.sqrt(ch))
+        logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale,
+                            preferred_element_type=jnp.float32)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+        a = jnp.einsum("bhts,bshc->bthc", weights, v)
+        a = a.reshape(B, T, C)
+        a = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=nn.initializers.zeros, name="proj_out")(a)
+        return ((h + a).reshape(B, H, W, C)).astype(x.dtype)
