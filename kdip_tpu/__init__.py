@@ -10,6 +10,8 @@ the ADM/k-diffusion model families — designed TPU-first: scanned samplers,
 vjp-based guidance, FFT operators in XLA, and mesh sharding for scale-out.
 """
 
-from . import brownian, diffusion, precond, samplers, schedules  # noqa: F401
+from . import (brownian, ckpt, diffusion, guidance, operators, precond,  # noqa: F401
+               samplers, sampling_api, schedules)
+from . import models, ops  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,141 @@
+"""Degradation kernel generation and loading.
+
+Native replacements for the reference's kernel sources:
+- Gaussian blur PSF (ref: dps_utils/img_utils.py:278-283 builds it with
+  scipy.ndimage.gaussian_filter on a delta — i.e. a truncated discrete
+  Gaussian; we evaluate the same thing directly).
+- Random-walk motion blur PSF synthesis (ref: motionblur/motionblur.py:52-419:
+  a random spline path rasterized and Gaussian-softened). We implement a
+  numpy rasterizer with the same statistical character (intensity parameter
+  controls path wiggle/curvature) without the PIL drawing dependency.
+- Loaders for the fixed .npy / .mat kernels the reference pins for its
+  experiments (ref: condition/measurements.py:95, 134, 173).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def gaussian_kernel(kernel_size: int = 61, std: float = 3.0) -> np.ndarray:
+    """Truncated discrete Gaussian PSF, normalized to sum 1.
+
+    Matches scipy.ndimage.gaussian_filter(delta, sigma=std) up to its default
+    truncation (radius = 4*std), which the reference uses to build its
+    gaussian kernels (dps_utils/img_utils.py:278-283).
+    """
+    try:
+        from scipy import ndimage
+        n = np.zeros((kernel_size, kernel_size))
+        n[kernel_size // 2, kernel_size // 2] = 1
+        return ndimage.gaussian_filter(n, sigma=std)
+    except ImportError:
+        ax = np.arange(kernel_size) - kernel_size // 2
+        g = np.exp(-0.5 * (ax / std) ** 2)
+        k = np.outer(g, g)
+        return k / k.sum()
+
+
+def bicubic_kernel(scale_factor: int) -> np.ndarray:
+    """Antialiased bicubic downsampling PSF for integer scale factors.
+
+    The classical-degradation equivalent of the reference's
+    `kernels_bicubicx234.mat` entries (25x25 kernels): the separable
+    antialiased Keys cubic `sf * cubic(sf * x)` sampled on the integer grid.
+    """
+    from .resize import cubic
+    half = 2 * scale_factor  # support of the stretched cubic
+    size = 4 * scale_factor + 1
+    ax = np.arange(size) - size // 2
+    k1 = cubic(ax / scale_factor) / scale_factor
+    k = np.outer(k1, k1)
+    return (k / k.sum()).astype(np.float64)
+
+
+def motion_blur_kernel(kernel_size: int = 61, intensity: float = 0.5,
+                       seed: Optional[int] = None) -> np.ndarray:
+    """Stochastic motion-blur PSF via a random walk path, rasterized with
+    bilinear splatting and Gaussian-softened.
+
+    Functional equivalent of motionblur.Kernel (ref: motionblur/motionblur.py:
+    52-419): intensity in [0, 1] controls non-linearity/shake of the path
+    (0 = near-straight uniform motion, 1 = highly curved jitter).
+    """
+    rng = np.random.RandomState(seed)
+    intensity = float(np.clip(intensity, 0, 1))
+    # path synthesis in the spirit of motionblur.py:_createPath: segment
+    # angles diffuse with variance growing in intensity; lengths are beta
+    # distributed.
+    num_steps = max(kernel_size * 4, 64)
+    max_len = kernel_size * 0.75
+    steps = rng.beta(1.5, 3.0, size=num_steps)
+    steps = steps / steps.sum() * max_len
+    angle = rng.uniform(0, 2 * math.pi)
+    angles = [angle]
+    for _ in range(num_steps - 1):
+        # mean-reverting heading with intensity-scaled jitter (motionblur.py
+        # uses triangular-distributed angle increments scaled by intensity)
+        jitter = rng.triangular(-math.pi, 0, math.pi) * intensity
+        angle = angle + jitter
+        angles.append(angle)
+    angles = np.array(angles)
+    dx = np.cumsum(steps * np.cos(angles))
+    dy = np.cumsum(steps * np.sin(angles))
+    xs = np.concatenate([[0.0], dx])
+    ys = np.concatenate([[0.0], dy])
+    # densify the polyline so splatting is continuous
+    dense_x, dense_y = [], []
+    for i in range(len(xs) - 1):
+        n = max(2, int(math.hypot(xs[i + 1] - xs[i], ys[i + 1] - ys[i]) * 4))
+        dense_x.append(np.linspace(xs[i], xs[i + 1], n, endpoint=False))
+        dense_y.append(np.linspace(ys[i], ys[i + 1], n, endpoint=False))
+    px = np.concatenate(dense_x)
+    py = np.concatenate(dense_y)
+    # center path
+    px -= px.mean()
+    py -= py.mean()
+    # bilinear splat onto the grid
+    k = np.zeros((kernel_size, kernel_size))
+    cx = cy = kernel_size / 2
+    gx = np.clip(px + cx, 0, kernel_size - 1 - 1e-6)
+    gy = np.clip(py + cy, 0, kernel_size - 1 - 1e-6)
+    x0, y0 = gx.astype(int), gy.astype(int)
+    fx, fy = gx - x0, gy - y0
+    np.add.at(k, (y0, x0), (1 - fx) * (1 - fy))
+    np.add.at(k, (y0, x0 + 1), fx * (1 - fy))
+    np.add.at(k, (y0 + 1, x0), (1 - fx) * fy)
+    np.add.at(k, (y0 + 1, x0 + 1), fx * fy)
+    # gaussian soften (motionblur.py applies ImageFilter.GaussianBlur)
+    k = gaussian_soften(k, sigma=1.0)
+    s = k.sum()
+    if s <= 0:
+        k = np.zeros((kernel_size, kernel_size))
+        k[kernel_size // 2, kernel_size // 2] = 1.0
+        return k
+    return k / s
+
+
+def gaussian_soften(k: np.ndarray, sigma: float = 1.0) -> np.ndarray:
+    try:
+        from scipy import ndimage
+        return ndimage.gaussian_filter(k, sigma=sigma)
+    except ImportError:
+        return k
+
+
+def load_kernel_npy(path: str) -> np.ndarray:
+    """Loads one of the pinned .npy degradation kernels
+    (ref: condition/measurements.py:134, 173)."""
+    return np.load(path).astype(np.float64)
+
+
+def load_bicubic_mat(path: str, scale_factor: int) -> np.ndarray:
+    """Loads the pinned bicubic kernel from kernels_bicubicx234.mat
+    (ref: condition/measurements.py:95-97): index sf-2 for sf in {2,3,4}."""
+    from scipy import io as sio
+    kernels = sio.loadmat(path)["kernels"]
+    k_index = scale_factor - 2 if scale_factor < 5 else 2
+    return kernels[0, k_index].astype(np.float64)

@@ -1,0 +1,90 @@
+"""High-level posterior sampling API.
+
+One-call equivalent of the reference CLI flow (sample_condition_openai.py:
+156-196): build the guided denoiser for a measurement, run a Karras sampler
+over the sigma schedule, return the reconstruction. The entire trajectory —
+UNet forwards, guidance VJPs, CG solves, churn noise — compiles into a single
+jitted XLA program per (operator, guidance, steps) configuration, reusable
+across images (the measurement is a traced argument, not a constant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import diffusion as diff
+from . import guidance as gd
+from . import samplers, schedules
+from .operators import Measurement
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Sampler settings (defaults = the reference CLI defaults,
+    sample_condition_openai.py:89-92, 186-194)."""
+    steps: int = 50
+    sigma_min: float = 1e-2
+    sigma_max: float = 80.0
+    rho: float = 7.0
+    sampler: str = "heun"   # or "euler"
+    ode: bool = False       # True disables churn
+    s_churn: float = 80.0
+    s_tmin: float = 0.05
+    s_tmax: float = 50.0
+    s_noise: float = 1.003
+
+
+def build_posterior_sampler(model_apply: Callable, tables: diff.DiffusionTables,
+                            operator, guidance_cfg: gd.GuidanceConfig,
+                            sampler_cfg: SamplerConfig = SamplerConfig(),
+                            recon_mse: Optional[Dict[str, jnp.ndarray]] = None,
+                            v2: bool = False, image_size: int = 256,
+                            channels: int = 3):
+    """Returns a jittable `sample(params, measurement, key) -> hat_x0`.
+
+    model_apply(params, x_scaled, t) -> raw UNet output (v1) or the
+    (eps, logvar, logvar_ot) triple (v2).
+    """
+    sigmas = schedules.get_sigmas_karras(sampler_cfg.steps, sampler_cfg.sigma_min,
+                                         sampler_cfg.sigma_max, sampler_cfg.rho)
+
+    if v2:
+        uncond, var_fn = gd.make_openai_v2_uncond(model_apply, tables, guidance_cfg)
+    else:
+        uncond, var_fn = gd.make_openai_uncond(model_apply, tables, guidance_cfg,
+                                               recon_mse=recon_mse)
+
+    sample_fns = {"heun": samplers.sample_heun, "euler": samplers.sample_euler,
+                  "dpmpp_2m": samplers.sample_dpmpp_2m}
+    sampler_fn = sample_fns[sampler_cfg.sampler]
+
+    def sample(params, measurement: Measurement, key, n: int = 1):
+        denoise = gd.make_condition_denoiser(uncond, var_fn, operator,
+                                             measurement, guidance_cfg,
+                                             params=params, v2=v2)
+        k_init, k_samp = jax.random.split(key)
+        x = jax.random.normal(k_init, (n, image_size, image_size, channels)
+                              ) * sampler_cfg.sigma_max
+        kwargs = {}
+        if sampler_cfg.sampler in ("heun", "euler") and not sampler_cfg.ode:
+            kwargs = dict(s_churn=sampler_cfg.s_churn, s_tmin=sampler_cfg.s_tmin,
+                          s_tmax=sampler_cfg.s_tmax, s_noise=sampler_cfg.s_noise)
+        return sampler_fn(denoise, x, sigmas, k_samp, **kwargs)
+
+    return sample
+
+
+def posterior_sample(model_apply, tables, operator, measurement, params, key,
+                     guidance_cfg: Optional[gd.GuidanceConfig] = None,
+                     sampler_cfg: Optional[SamplerConfig] = None, **kw):
+    """Convenience one-shot wrapper."""
+    guidance_cfg = guidance_cfg or gd.GuidanceConfig()
+    sampler_cfg = sampler_cfg or SamplerConfig()
+    sampler = build_posterior_sampler(model_apply, tables, operator,
+                                      guidance_cfg, sampler_cfg, **kw)
+    return sampler(params, measurement, key)

@@ -7,6 +7,9 @@ multi-device sharding paths can be exercised without hardware.
 import os
 import sys
 
+# Note: on axon hosts, platform_guard.py (loaded via pytest.ini addopts)
+# re-execs pytest onto CPU before capture starts; these are fallbacks for
+# plain environments.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -74,7 +77,24 @@ def _install_reference_shim():
     sk.transform = sys.modules["skimage.transform"]
     _stub_module("pywt")
     _stub_module("jsonmerge")
-    _stub_module("hdf5storage")
+    try:
+        from scipy import io as _sio
+        _stub_module("hdf5storage", loadmat=_sio.loadmat)
+    except ImportError:
+        _stub_module("hdf5storage")
+    # scipy >= 1.14 removed the `tol` kwarg of sparse cg (now `rtol`); the
+    # reference uses the old spelling (condition.py:343).
+    import scipy.sparse.linalg as _ssl
+    if not getattr(_ssl.cg, "_kdip_tol_shim", False):
+        _orig_cg = _ssl.cg
+
+        def _cg_compat(*args, **kwargs):
+            if "tol" in kwargs:
+                kwargs["rtol"] = kwargs.pop("tol")
+            return _orig_cg(*args, **kwargs)
+
+        _cg_compat._kdip_tol_shim = True
+        _ssl.cg = _cg_compat
     _stub_module("blobfile")
     tv = _stub_module("torchvision")
     import torch as _torch
