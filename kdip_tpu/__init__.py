@@ -11,7 +11,7 @@ vjp-based guidance, FFT operators in XLA, and mesh sharding for scale-out.
 """
 
 from . import (brownian, ckpt, diffusion, guidance, operators, precond,  # noqa: F401
-               samplers, sampling_api, schedules)
-from . import models, ops  # noqa: F401
+               samplers, sampling_api, schedules, train, utils)
+from . import models, ops, parallel  # noqa: F401
 
 __version__ = "0.1.0"

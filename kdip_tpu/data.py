@@ -1,0 +1,173 @@
+"""Datasets and augmentation (host-side input pipeline).
+
+Equivalents of the reference's data surface:
+- `FolderOfImages` (k_diffusion/utils.py:274-297): recursive image folder
+  with no classes.
+- `KarrasAugmentationPipeline` (k_diffusion/augmentation.py:34-86): the
+  EDM non-leaky affine augmentation returning (aug_image, orig_image,
+  9-dim conditioning vector).
+- Sharded batching for a device mesh (replacing the reference's MPI-sharded
+  ImageDataset, guided_diffusion/image_datasets.py:11-109).
+
+The pipeline is host-side numpy/PIL (input pipelines feed the device;
+augmentation math matches the reference, with scipy affine warp order=3).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import reduce
+from pathlib import Path
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif",
+                  ".tiff", ".webp"}
+
+
+class FolderOfImages:
+    """Recursive image folder dataset, no classes
+    (ref: k_diffusion/utils.py:274-297). Returns [H, W, C] float arrays in
+    [-1, 1] (NHWC; the reference returns CHW tensors)."""
+
+    def __init__(self, root: str, transform: Optional[Callable] = None,
+                 size: Optional[int] = None):
+        self.root = Path(root)
+        self.transform = transform
+        self.size = size
+        self.paths = sorted(p for p in self.root.rglob("*")
+                            if p.suffix.lower() in IMG_EXTENSIONS)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx) -> Tuple[np.ndarray]:
+        from PIL import Image
+        with Image.open(self.paths[idx]) as img:
+            img = img.convert("RGB")
+            if self.size is not None:
+                img = img.resize((self.size, self.size), Image.LANCZOS)
+            arr = np.asarray(img, dtype=np.float32) / 255.0
+        arr = arr * 2 - 1
+        if self.transform is not None:
+            arr = self.transform(arr)
+        return (arr,)
+
+    def batches(self, batch_size: int, drop_last: bool = False,
+                shuffle: bool = False, seed: int = 0) -> Iterator[np.ndarray]:
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        for i in range(0, len(order), batch_size):
+            idxs = order[i:i + batch_size]
+            if drop_last and len(idxs) < batch_size:
+                return
+            yield np.stack([self[j][0] for j in idxs])
+
+
+# ---------------------------------------------------------------------------
+# Karras augmentation (ref: k_diffusion/augmentation.py:13-86)
+# ---------------------------------------------------------------------------
+
+def _translate2d(tx, ty):
+    return np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float64)
+
+
+def _scale2d(sx, sy):
+    return np.array([[sx, 0, 0], [0, sy, 0], [0, 0, 1]], np.float64)
+
+
+def _rotate2d(theta):
+    return np.array([[math.cos(theta), math.sin(-theta), 0],
+                     [math.sin(theta), math.cos(theta), 0],
+                     [0, 0, 1]], np.float64)
+
+
+class KarrasAugmentationPipeline:
+    """EDM affine augmentation (ref: k_diffusion/augmentation.py:34-86).
+
+    __call__(image_hwc_01, rng) -> (aug, orig, cond9), images in [-1, 1]
+    NHWC-single ([H, W, C]). The 9-dim cond vector matches the reference
+    ordering: [a0, a1, a2, cos(a3)-1, sin(a3), a5 cos(a4), a5 sin(a4), a6, a7].
+    """
+
+    def __init__(self, a_prob=0.12, a_scale=2 ** 0.2, a_aniso=2 ** 0.2,
+                 a_trans=1 / 8):
+        self.a_prob = a_prob
+        self.a_scale = a_scale
+        self.a_aniso = a_aniso
+        self.a_trans = a_trans
+
+    def __call__(self, image: np.ndarray, rng: Optional[np.random.RandomState] = None):
+        if rng is None:
+            rng = np.random.RandomState()
+        if image.ndim == 2:
+            image = image[..., None]
+        h, w = image.shape[:2]
+        mats = [_translate2d(h / 2 - 0.5, w / 2 - 0.5)]
+
+        a0 = float(rng.randint(2))
+        mats.append(_scale2d(1 - 2 * a0, 1))
+        a1 = float(rng.randint(2)) * float(rng.rand() < self.a_prob)
+        mats.append(_scale2d(1, 1 - 2 * a1))
+        a2 = float(rng.randn()) * float(rng.rand() < self.a_prob)
+        mats.append(_scale2d(self.a_scale ** a2, self.a_scale ** a2))
+        a3 = float(rng.rand() * 2 * math.pi - math.pi) * float(rng.rand() < self.a_prob)
+        mats.append(_rotate2d(-a3))
+        do4 = float(rng.rand() < self.a_prob)
+        a4 = float(rng.rand() * 2 * math.pi - math.pi) * do4
+        a5 = float(rng.randn()) * do4
+        mats.append(_rotate2d(a4))
+        mats.append(_scale2d(self.a_aniso ** a5, self.a_aniso ** -a5))
+        mats.append(_rotate2d(-a4))
+        do6 = float(rng.rand() < self.a_prob)
+        a6 = float(rng.randn()) * do6
+        a7 = float(rng.randn()) * do6
+        mats.append(_translate2d(self.a_trans * w * a6, self.a_trans * h * a7))
+
+        mats.append(_translate2d(-h / 2 + 0.5, -w / 2 + 0.5))
+        mat = reduce(np.matmul, mats)
+        cond = np.array([a0, a1, a2, math.cos(a3) - 1, math.sin(a3),
+                         a5 * math.cos(a4), a5 * math.sin(a4), a6, a7],
+                        np.float32)
+
+        image01 = (image + 1) / 2 if image.min() < 0 else image
+        aug = self._warp(image01, mat)
+        orig = image01 * 2 - 1
+        aug = aug * 2 - 1
+        return aug.astype(np.float32), orig.astype(np.float32), cond
+
+    @staticmethod
+    def _warp(image01: np.ndarray, mat: np.ndarray) -> np.ndarray:
+        """Affine warp with cubic interpolation and reflect boundary
+        (ref: augmentation.py:82-83 skimage.transform.warp order=3
+        mode='reflect'). Uses scipy.ndimage; coordinate convention matches
+        skimage's AffineTransform (x = cols, y = rows)."""
+        from scipy import ndimage
+        # skimage warp with tf.inverse maps output coords through mat^{-1};
+        # AffineTransform matrices act on (x, y, 1) = (col, row, 1).
+        inv = np.linalg.inv(mat)
+        # convert xy-convention matrix to row/col for ndimage
+        swap = np.array([[0, 1, 0], [1, 0, 0], [0, 0, 1]], np.float64)
+        m_rc = swap @ inv @ swap
+        out = np.empty_like(image01)
+        for c in range(image01.shape[-1]):
+            out[..., c] = ndimage.affine_transform(
+                image01[..., c], m_rc[:2, :2], offset=m_rc[:2, 2], order=3,
+                mode="reflect", prefilter=True)
+        return out
+
+
+def augment_batch(pipeline: KarrasAugmentationPipeline, images: np.ndarray,
+                  seed: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Applies the augmentation per-image over a [B, H, W, C] batch."""
+    augs, origs, conds = [], [], []
+    for i, img in enumerate(images):
+        rng = np.random.RandomState((seed * 100003 + i) % (2 ** 31))
+        a, o, c = pipeline(img, rng)
+        augs.append(a)
+        origs.append(o)
+        conds.append(c)
+    return np.stack(augs), np.stack(origs), np.stack(conds)

@@ -162,6 +162,29 @@ class ADMUNet(nn.Module):
         return out
 
 
+class ADMUNetV2(nn.Module):
+    """ADM UNet + learned-covariance head for the DWT/DCT-Var models.
+
+    Equivalent of the reference's OpenAIDenoiserV2 module state
+    (ref: k_diffusion/external.py:135-169): the pretrained UNet plus a 1x1
+    conv `out_cov` on the penultimate feature map emitting per-pixel
+    (logvar, logvar_ot). Returns (eps, logvar, logvar_ot); callers apply
+    EDM input/output scalings (see guidance.make_openai_v2_uncond).
+    """
+    unet: ADMUNet
+
+    @nn.compact
+    def __call__(self, x_scaled, t, deterministic: bool = True):
+        out, feature = self.unet(x_scaled, t, return_feature=True,
+                                 deterministic=deterministic)
+        C = x_scaled.shape[-1]
+        eps = out[..., :C]
+        cov = nn.Conv(2 * C, (1, 1), dtype=self.unet.dtype,
+                      param_dtype=jnp.float32, name="out_cov")(feature)
+        logvar, logvar_ot = jnp.split(cov, 2, axis=-1)
+        return eps, logvar, logvar_ot
+
+
 def ffhq_unet(dtype=jnp.float32, dropout: float = 0.0) -> ADMUNet:
     """FFHQ-256 config (ref: configs/test_ffhq.json:13-17 +
     diffpir_utils/utils_model.py:353-381 defaults)."""

@@ -1,0 +1,97 @@
+"""Device-mesh parallelism: data-parallel training and batch-sharded sampling.
+
+TPU-native replacement for the reference's distributed stack
+(guided_diffusion/dist_util.py: MPI-rendezvoused torch.distributed with
+NCCL/gloo; Lightning DDP in train_openai.py:69-74; accelerate gather in
+k_diffusion/evaluation.py:53-63). On TPU the same capability is expressed as
+a `jax.sharding.Mesh` over ICI with `NamedSharding` annotations: XLA inserts
+the all-reduces (gradients), all-gathers (eval features), and broadcasts
+(checkpoint params) that the reference performs with explicit NCCL/MPI calls.
+
+Axes: "dp" (data/batch). The models here (ADM UNet at 256px, <600M params)
+fit comfortably per-chip, so data parallelism is the profitable axis —
+matching the reference, which is DP-only (SURVEY.md §2 #19). The helpers
+below nonetheless accept arbitrary mesh shapes so a ("dp", "fsdp") layout
+can shard params too (fully-sharded DP for larger models).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Tuple[str, ...] = ("dp",),
+              shape: Optional[Tuple[int, ...]] = None) -> Mesh:
+    """Builds a mesh over the first n (default: all) devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    dev_array = np.array(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    """Shard the leading (batch) dimension across the mesh axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(tree: Any, mesh: Mesh, axis: str = "dp") -> Any:
+    """Places every array in the pytree with its leading dim sharded over
+    the mesh (the dp equivalent of the reference's per-rank dataset shards,
+    guided_diffusion/image_datasets.py:53-54)."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicates params across the mesh (the reference broadcasts via MPI,
+    dist_util.py:54-77; here it is a sharding annotation)."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def data_parallel(fn: Callable, mesh: Mesh, batch_argnums: Sequence[int] = (1,),
+                  axis: str = "dp") -> Callable:
+    """jit `fn(params, batch, ...)` with params replicated and the given
+    positional args batch-sharded; gradients/reductions inside become XLA
+    collectives over ICI automatically."""
+    def wrapper(*args, **kwargs):
+        placed = []
+        for i, a in enumerate(args):
+            if i in batch_argnums:
+                placed.append(shard_batch(a, mesh, axis))
+            else:
+                placed.append(replicate(a, mesh) if i == 0 else a)
+        return fn(*placed, **kwargs)
+    return wrapper
+
+
+def make_sharded_sampler(sample_fn: Callable, mesh: Mesh, axis: str = "dp"):
+    """Batch-parallel posterior sampling: each device reconstructs its own
+    images. `sample_fn(params, measurement, key)` must be batched over the
+    measurement's leading dim; keys are per-example.
+
+    This is the scale-out axis the reference lacks entirely (hard-wired
+    batch=1 per guidance step, sample_condition_openai.py:110).
+    """
+    jitted = jax.jit(sample_fn)
+
+    def sharded(params, measurement, key):
+        params = replicate(params, mesh)
+        measurement = shard_batch(measurement, mesh, axis)
+        return jitted(params, measurement, key)
+
+    return sharded

@@ -1,0 +1,160 @@
+"""Training utilities: EMA schedules, LR schedules, sigma sample densities.
+
+TPU-native equivalents of `k_diffusion/utils.py` (EMAWarmup:104-151,
+InverseLR:152-190, ExponentialLR:193-231, sigma densities rand_log_normal..
+rand_split_log_normal:234-272) and `k_diffusion/config.py:110-136
+make_sample_density`. LR schedules are optax-style callables step -> scale;
+EMA update is a pure pytree op.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def append_dims(x, target_ndim):
+    from .schedules import append_dims as _ad
+    return _ad(x, target_ndim)
+
+
+# ---------------------------------------------------------------------------
+# EMA
+# ---------------------------------------------------------------------------
+
+def ema_update(ema_params, params, decay):
+    """ema <- decay * ema + (1-decay) * params (ref: k_diffusion/utils.py:85-101)."""
+    return jax.tree.map(lambda e, p: e * decay + p * (1 - decay), ema_params, params)
+
+
+class EMAWarmup:
+    """Inverse-power EMA decay warmup (ref: k_diffusion/utils.py:104-151).
+
+    value(step) = (1 - 1/(step/inv_gamma + 1)^power), clamped to
+    [min_value, max_value]."""
+
+    def __init__(self, inv_gamma=1.0, power=1.0, min_value=0.0, max_value=1.0,
+                 start_at=0, last_epoch=0):
+        self.inv_gamma = inv_gamma
+        self.power = power
+        self.min_value = min_value
+        self.max_value = max_value
+        self.start_at = start_at
+        self.last_epoch = last_epoch
+
+    def get_value(self):
+        epoch = max(0, self.last_epoch - self.start_at)
+        value = 1 - (1 + epoch / self.inv_gamma) ** -self.power
+        return 0.0 if epoch < 0 else min(self.max_value, max(self.min_value, value))
+
+    def step(self):
+        self.last_epoch += 1
+
+
+# ---------------------------------------------------------------------------
+# LR schedules (optax-compatible: step -> multiplier)
+# ---------------------------------------------------------------------------
+
+def inverse_lr(inv_gamma=1.0, power=1.0, warmup=0.0, final_lr=0.0) -> Callable:
+    """InverseLR (ref: k_diffusion/utils.py:152-190)."""
+    def schedule(step):
+        lr_mult = (1 + step / inv_gamma) ** -power
+        w = 1 - warmup ** (step + 1) if warmup else 1.0
+        return w * jnp.maximum(final_lr, lr_mult)
+    return schedule
+
+
+def exponential_lr(num_steps, decay=0.5, warmup=0.0, final_lr=0.0) -> Callable:
+    """ExponentialLR (ref: k_diffusion/utils.py:193-231)."""
+    def schedule(step):
+        lr_mult = decay ** (step / num_steps)
+        w = 1 - warmup ** (step + 1) if warmup else 1.0
+        return w * jnp.maximum(final_lr, lr_mult)
+    return schedule
+
+
+# ---------------------------------------------------------------------------
+# Sigma sample densities (ref: k_diffusion/utils.py:234-272)
+# ---------------------------------------------------------------------------
+
+def rand_log_normal(key, shape, loc=0.0, scale=1.0):
+    return jnp.exp(jax.random.normal(key, shape) * scale + loc)
+
+
+def rand_log_logistic(key, shape, loc=0.0, scale=1.0,
+                      min_value=0.0, max_value=float("inf")):
+    min_cdf = jax.scipy.stats.logistic.cdf((math.log(min_value) - loc) / scale) \
+        if min_value > 0 else 0.0
+    max_cdf = (jax.scipy.stats.logistic.cdf((math.log(max_value) - loc) / scale)
+               if max_value != float("inf") else 1.0)
+    u = jax.random.uniform(key, shape, minval=min_cdf, maxval=max_cdf)
+    return jnp.exp(jax.scipy.stats.logistic.ppf(u) * scale + loc)
+
+
+def rand_log_uniform(key, shape, min_value, max_value):
+    lo, hi = math.log(min_value), math.log(max_value)
+    return jnp.exp(jax.random.uniform(key, shape, minval=lo, maxval=hi))
+
+
+def rand_v_diffusion(key, shape, sigma_data=1.0, min_value=0.0,
+                     max_value=float("inf")):
+    min_cdf = math.atan(min_value / sigma_data) * 2 / math.pi
+    max_cdf = (math.atan(max_value / sigma_data) * 2 / math.pi
+               if max_value != float("inf") else 1.0)
+    u = jax.random.uniform(key, shape, minval=min_cdf, maxval=max_cdf)
+    return jnp.tan(u * math.pi / 2) * sigma_data
+
+
+def rand_cosine_interpolated(key, shape, image_d=None, **kw):
+    raise NotImplementedError("cosine-interpolated density not used by the paper")
+
+
+def rand_cosine(key, shape, logsnr_min=-15.0, logsnr_max=15.0, sigma_data=1.0):
+    """'cosine' density: sigma from uniformly sampled v-diffusion timestep
+    (the train_ffhq_dwt.json setting, ref: config.py:124-127 maps 'cosine'
+    to rand_v_diffusion with min/max from sigma bounds)."""
+    return rand_v_diffusion(key, shape, sigma_data=sigma_data)
+
+
+def rand_split_log_normal(key, shape, loc, scale_1, scale_2):
+    k1, k2, k3 = jax.random.split(key, 3)
+    n = jnp.abs(jax.random.normal(k1, shape))
+    u = jax.random.uniform(k2, shape)
+    ratio = scale_1 / (scale_1 + scale_2)
+    value = jnp.where(u < ratio, loc - n * scale_1, loc + n * scale_2)
+    return jnp.exp(value)
+
+
+def make_sample_density(config: Dict, sigma_data: float = 1.0,
+                        sigma_min: float = 1e-3, sigma_max: float = 1e3) -> Callable:
+    """Density factory from a model config block (ref: k_diffusion/config.py:
+    110-136). Returns fn(key, shape) -> sigmas."""
+    sd = config.get("sigma_sample_density", {"type": "lognormal"})
+    ty = sd["type"]
+    if ty == "lognormal":
+        loc = sd.get("mean", sd.get("loc", 0.0))
+        scale = sd.get("std", sd.get("scale", 1.0))
+        return lambda key, shape: rand_log_normal(key, shape, loc, scale)
+    if ty == "loglogistic":
+        loc = sd.get("loc", math.log(sigma_data))
+        scale = sd.get("scale", 0.5)
+        mn = sd.get("min_value", sigma_min)
+        mx = sd.get("max_value", sigma_max)
+        return lambda key, shape: rand_log_logistic(key, shape, loc, scale, mn, mx)
+    if ty == "loguniform":
+        mn = sd.get("min_value", sigma_min)
+        mx = sd.get("max_value", sigma_max)
+        return lambda key, shape: rand_log_uniform(key, shape, mn, mx)
+    if ty in ("v-diffusion", "cosine"):
+        mn = sd.get("min_value", sigma_min)
+        mx = sd.get("max_value", sigma_max)
+        return lambda key, shape: rand_v_diffusion(key, shape, sigma_data, mn, mx)
+    if ty == "split-lognormal":
+        loc = sd.get("mean", sd.get("loc", 0.0))
+        s1 = sd.get("std_1", sd.get("scale_1", 1.0))
+        s2 = sd.get("std_2", sd.get("scale_2", 1.0))
+        return lambda key, shape: rand_split_log_normal(key, shape, loc, s1, s2)
+    raise ValueError(f"Unknown sample density type {ty}")

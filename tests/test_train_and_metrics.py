@@ -1,0 +1,211 @@
+"""Tests for training losses, train step, sharding, metrics, and utils."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from kdip_tpu import diffusion, metrics, train, utils
+from kdip_tpu.models import adm
+from kdip_tpu.ops.transforms import OrthoTransform
+from kdip_tpu.parallel import sharding as sh
+
+
+def test_edm_loss_vs_reference(reference_path):
+    import torch
+    from k_diffusion.layers import Denoiser
+
+    class Inner(torch.nn.Module):
+        def forward(self, x, sigma, **kw):
+            return x * 0.5
+
+    ref = Denoiser(Inner(), sigma_data=0.5)
+    rng = np.random.RandomState(0)
+    x0 = rng.randn(2, 3, 8, 8).astype(np.float32)
+    noise = rng.randn(2, 3, 8, 8).astype(np.float32)
+    sigma = np.array([0.3, 2.0], dtype=np.float32)
+    ref_loss = ref.loss(torch.tensor(x0), torch.tensor(noise),
+                        torch.tensor(sigma)).numpy()
+
+    def model_apply(params, x_scaled, s):
+        return x_scaled * 0.5
+
+    ours = train.edm_loss(model_apply, None,
+                          jnp.asarray(x0.transpose(0, 2, 3, 1)),
+                          jnp.asarray(noise.transpose(0, 2, 3, 1)),
+                          jnp.asarray(sigma), sigma_data=0.5)
+    np.testing.assert_allclose(np.asarray(ours), ref_loss, rtol=1e-4)
+
+
+def test_variance_loss_vs_reference(reference_path):
+    import torch
+    from k_diffusion.layers import DenoiserWithVariance
+
+    class Inner(torch.nn.Module):
+        def forward(self, x, sigma, return_variance=False, **kw):
+            return x * 0.5, torch.ones_like(x) * 0.1, torch.ones_like(x) * -0.2
+
+    ref = DenoiserWithVariance(Inner(), sigma_data=0.5, ortho_tf_type=None)
+    rng = np.random.RandomState(0)
+    x0 = rng.randn(2, 3, 8, 8).astype(np.float32)
+    noise = rng.randn(2, 3, 8, 8).astype(np.float32)
+    sigma = np.array([0.3, 2.0], dtype=np.float32)
+    ref_loss = ref.loss(torch.tensor(x0), torch.tensor(noise),
+                        torch.tensor(sigma)).numpy()
+
+    def model_apply(params, x_scaled, s):
+        return x_scaled * 0.5, jnp.ones_like(x_scaled) * 0.1, \
+            jnp.ones_like(x_scaled) * -0.2
+
+    ours = train.variance_loss(model_apply, None,
+                               jnp.asarray(x0.transpose(0, 2, 3, 1)),
+                               jnp.asarray(noise.transpose(0, 2, 3, 1)),
+                               jnp.asarray(sigma), OrthoTransform(None),
+                               sigma_data=0.5)
+    np.testing.assert_allclose(np.asarray(ours), ref_loss, rtol=1e-4)
+
+
+def test_train_step_reduces_loss():
+    model = adm.ADMUNetV2(unet=adm.ADMUNet(
+        image_size=16, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_heads=2,
+        num_head_channels=16, out_channels=6))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.zeros((1,)))["params"]
+    tables = diffusion.make_diffusion(1000, "linear")
+    ortho_tf = OrthoTransform("dwt", level=2)
+    density = utils.make_sample_density(
+        {"sigma_sample_density": {"type": "lognormal", "mean": -1.2, "std": 1.2}})
+
+    def model_apply_v2(p, x_scaled, t):
+        return model.apply({"params": p}, x_scaled, t)
+
+    def loss_fn(p, x0, noise, sigma):
+        return train.openai_v2_loss(model_apply_v2, p, x0, noise, sigma,
+                                    tables.log_sigmas, ortho_tf)
+
+    optimizer = optax.adam(1e-3)
+    state = train.create_train_state(params, optimizer)
+    step = jax.jit(train.make_train_step(loss_fn, optimizer, density))
+    batch = jax.random.uniform(jax.random.key(1), (4, 16, 16, 3)) * 2 - 1
+    losses = []
+    for i in range(8):
+        state, m = step(state, batch, jax.random.fold_in(jax.random.key(2), i),
+                        0.95)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+    # EMA params differ from params but track them
+    d = jax.tree.leaves(jax.tree.map(lambda a, b: jnp.abs(a - b).max(),
+                                     state.params, state.ema_params))
+    assert max(float(x) for x in d) > 0
+
+
+def test_data_parallel_train_step_matches_single():
+    """dp-sharded train step produces the same update as single-device."""
+    mesh = sh.make_mesh(8)
+    model = adm.ADMUNet(image_size=16, model_channels=32, num_res_blocks=1,
+                        attention_resolutions=(2,), channel_mult=(1, 2),
+                        num_heads=2, num_head_channels=16, out_channels=6)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.zeros((1,)))["params"]
+    density = utils.make_sample_density({"sigma_sample_density": {"type": "lognormal"}})
+
+    def model_apply(p, x_scaled, sigma):
+        t = jnp.broadcast_to(sigma, (x_scaled.shape[0],)) * 100
+        return model.apply({"params": p}, x_scaled, t)[..., :3]
+
+    def loss_fn(p, x0, noise, sigma):
+        return train.edm_loss(model_apply, p, x0, noise, sigma)
+
+    optimizer = optax.adam(1e-3)
+    step = jax.jit(train.make_train_step(loss_fn, optimizer, density))
+    batch = jax.random.uniform(jax.random.key(1), (16, 16, 16, 3)) * 2 - 1
+
+    state0 = train.create_train_state(params, optimizer)
+    s_single, m_single = step(state0, batch, jax.random.key(2), 0.99)
+
+    state_sh = sh.replicate(train.create_train_state(params, optimizer), mesh)
+    batch_sh = sh.shard_batch(batch, mesh)
+    s_dp, m_dp = step(state_sh, batch_sh, jax.random.key(2), 0.99)
+
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_single["loss"]),
+                               rtol=1e-5)
+    leaves_a = jax.tree.leaves(s_single.params)
+    leaves_b = jax.tree.leaves(s_dp.params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_analytic_variance_job():
+    """With the exact posterior-mean denoiser for N(0,I) data, the MC MSE
+    must approach the analytic posterior variance sigma^2/(1+sigma^2)."""
+    denoise = lambda x, sigma: x / (1 + sigma ** 2)
+    data = [np.random.RandomState(i).randn(16, 8, 8, 3).astype(np.float32)
+            for i in range(4)]
+    sigmas = [0.1, 1.0, 10.0]
+    out = train.analytic_variance(denoise, data, sigmas, jax.random.key(0))
+    expected = np.array([s ** 2 / (1 + s ** 2) for s in sigmas])
+    np.testing.assert_allclose(np.asarray(out["mse_list"]), expected, rtol=0.15)
+
+
+def test_psnr_ssim_vs_skimage_formulas(reference_path):
+    # compare against the reference's own metric implementations if skimage
+    # is importable; otherwise check known values
+    rng = np.random.RandomState(0)
+    a = rng.rand(1, 32, 32, 3).astype(np.float32)
+    b = np.clip(a + rng.randn(1, 32, 32, 3).astype(np.float32) * 0.05, 0, 1)
+    p = float(metrics.psnr(jnp.asarray(a), jnp.asarray(b))[0])
+    s = float(metrics.ssim(jnp.asarray(a), jnp.asarray(b))[0])
+    # PSNR analytic cross-check
+    mse = np.mean((a - b) ** 2)
+    np.testing.assert_allclose(p, 10 * np.log10(1.0 / mse), rtol=1e-5)
+    assert 0.0 < s < 1.0
+    # identical images
+    assert float(metrics.psnr(jnp.asarray(a), jnp.asarray(a))[0]) > 80
+    np.testing.assert_allclose(float(metrics.ssim(jnp.asarray(a), jnp.asarray(a))[0]),
+                               1.0, atol=1e-6)
+
+
+def test_ema_warmup_schedule_vs_reference(reference_path):
+    from k_diffusion.utils import EMAWarmup as RefEMAWarmup
+    ref = RefEMAWarmup(power=0.6667, max_value=0.9999)
+    ours = utils.EMAWarmup(power=0.6667, max_value=0.9999)
+    for _ in range(100):
+        assert abs(ref.get_value() - ours.get_value()) < 1e-12
+        ref.step()
+        ours.step()
+
+
+def test_lr_schedules_closed_form():
+    """InverseLR/ExponentialLR formulas (ref: k_diffusion/utils.py:152-231;
+    the reference class itself targets an older torch LRScheduler API and
+    cannot be instantiated under torch 2.13, so we check the closed form)."""
+    inv = utils.inverse_lr(inv_gamma=500, power=0.7, warmup=0.99)
+    for step in [0, 10, 100]:
+        expected = (1 - 0.99 ** (step + 1)) * (1 + step / 500) ** -0.7
+        np.testing.assert_allclose(float(inv(step)), expected, rtol=1e-6)
+    exp = utils.exponential_lr(num_steps=1000, decay=0.5, warmup=0.0)
+    for step in [0, 500, 1000]:
+        np.testing.assert_allclose(float(exp(step)), 0.5 ** (step / 1000),
+                                   rtol=1e-6)
+
+
+def test_sigma_densities_statistics():
+    key = jax.random.key(0)
+    n = (20000,)
+    s = utils.rand_log_normal(key, n, loc=-1.2, scale=1.2)
+    np.testing.assert_allclose(float(jnp.mean(jnp.log(s))), -1.2, atol=0.05)
+    np.testing.assert_allclose(float(jnp.std(jnp.log(s))), 1.2, atol=0.05)
+    s2 = utils.rand_log_uniform(key, n, 0.01, 10.0)
+    assert float(s2.min()) >= 0.01 and float(s2.max()) <= 10.0
+    s3 = utils.rand_v_diffusion(key, n, sigma_data=1.0, min_value=0.01,
+                                max_value=100.0)
+    assert float(s3.min()) >= 0.01 and float(s3.max()) <= 100.0
+    density = utils.make_sample_density(
+        {"sigma_sample_density": {"type": "cosine"}}, sigma_min=1e-2,
+        sigma_max=80.0)
+    s4 = density(key, n)
+    assert float(s4.min()) >= 1e-2 and float(s4.max()) <= 80.0
