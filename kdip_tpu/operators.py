@@ -163,7 +163,8 @@ class BlurOperator(LinearOperator):
 def _build_blur(name: str, in_shape=(1, 3, 256, 256), kernel_size: int = 61,
                 intensity: float = 3.0, sigma_s: float = 0.05,
                 kernel: Optional[np.ndarray] = None,
-                kernel_path: Optional[str] = None, seed: Optional[int] = None):
+                kernel_path: Optional[str] = None, seed: Optional[int] = None,
+                **_):
     H, W = _nchw_shape_to_hw(in_shape)
     if kernel is None:
         if kernel_path is not None:
@@ -172,10 +173,13 @@ def _build_blur(name: str, in_shape=(1, 3, 256, 256), kernel_size: int = 61,
             kernel = okernels.gaussian_kernel(kernel_size, intensity)
         else:
             kernel = okernels.motion_blur_kernel(kernel_size, intensity, seed=seed)
-    kernel = jnp.asarray(kernel, jnp.float32)
-    FB = offt.psf_to_otf(kernel, (H, W))
-    return BlurOperator(sigma_s=jnp.float32(sigma_s), kernel=kernel, FB=FB,
-                        FBC=jnp.conj(FB), F2B=jnp.abs(FB) ** 2, _name=name)
+    kernel = np.asarray(kernel, np.float32)
+    # spectra stay host-side numpy: they embed as jit constants without a
+    # device->host complex transfer (see ops/fft.psf_to_otf_np)
+    FB = offt.psf_to_otf_np(kernel, (H, W))
+    return BlurOperator(sigma_s=jnp.float32(sigma_s), kernel=jnp.asarray(kernel),
+                        FB=FB, FBC=np.conj(FB),
+                        F2B=np.abs(FB).astype(np.float32) ** 2, _name=name)
 
 
 @register_operator("gaussian_blur")
@@ -231,7 +235,7 @@ class SuperResolutionOperator(LinearOperator):
 def _build_super_resolution(in_shape=(1, 3, 256, 256), scale_factor: int = 4,
                             sigma_s: float = 0.05,
                             kernel: Optional[np.ndarray] = None,
-                            kernel_path: Optional[str] = None):
+                            kernel_path: Optional[str] = None, **_):
     H, W = _nchw_shape_to_hw(in_shape)
     sf = int(scale_factor)
     _, (Mh, Mw) = oresize.make_resizer((H, W), 1.0 / sf)
@@ -240,11 +244,13 @@ def _build_super_resolution(in_shape=(1, 3, 256, 256), scale_factor: int = 4,
             kernel = okernels.load_bicubic_mat(kernel_path, sf)
         else:
             kernel = okernels.bicubic_kernel(sf)
-    kernel = jnp.asarray(kernel, jnp.float32)
-    FB = offt.psf_to_otf(kernel, (H, W))
+    kernel = np.asarray(kernel, np.float32)
+    FB = offt.psf_to_otf_np(kernel, (H, W))
     return SuperResolutionOperator(sigma_s=jnp.float32(sigma_s), Mh=Mh, Mw=Mw,
-                                   kernel=kernel, FB=FB, FBC=jnp.conj(FB),
-                                   F2B=jnp.abs(FB) ** 2, scale_factor=sf)
+                                   kernel=jnp.asarray(kernel), FB=FB,
+                                   FBC=np.conj(FB),
+                                   F2B=np.abs(FB).astype(np.float32) ** 2,
+                                   scale_factor=sf)
 
 
 class InpaintingOperator(LinearOperator):
@@ -274,7 +280,8 @@ class InpaintingOperator(LinearOperator):
 
 @register_operator("inpainting")
 def _build_inpainting(sigma_s: float = 0.05, mask_opt: Optional[dict] = None,
-                      mask: Optional[np.ndarray] = None, seed: Optional[int] = None):
+                      mask: Optional[np.ndarray] = None, seed: Optional[int] = None,
+                      **_):
     if mask is None:
         mask = generate_mask(seed=seed, **(mask_opt or {}))
     return InpaintingOperator(sigma_s=jnp.float32(sigma_s),

@@ -28,6 +28,23 @@ def ifft2(x):
     return jnp.fft.ifftn(x, axes=_SPATIAL)
 
 
+def psf_to_otf_np(psf, shape):
+    """Host-side (numpy) psf_to_otf for operator construction.
+
+    Operator spectra are precomputed once and then closed over by jitted
+    programs; keeping them as numpy avoids a device->host transfer of
+    complex64 at trace time (unsupported on some TPU transports).
+    """
+    import numpy as np
+    psf = np.asarray(psf)
+    h, w = psf.shape[-2:]
+    H, W = shape
+    otf = np.zeros(psf.shape[:-2] + (H, W), psf.dtype)
+    otf[..., :h, :w] = psf
+    otf = np.roll(otf, (-(h // 2), -(w // 2)), axis=(-2, -1))
+    return np.fft.fftn(otf, axes=(-2, -1)).astype(np.complex64)
+
+
 def psf_to_otf(psf: jnp.ndarray, shape) -> jnp.ndarray:
     """Point-spread function -> optical transfer function
     (ref: diffpir_utils/utils_sisr.py:22-41 `p2o`).
@@ -71,7 +88,11 @@ def upsample(x: jnp.ndarray, sf: int = 3) -> jnp.ndarray:
     if sf == 1:
         return x
     pad_cfg = [(0, 0, 0), (0, sf - 1, sf - 1), (0, sf - 1, sf - 1), (0, 0, 0)]
-    return lax.pad(x, jnp.zeros((), x.dtype), pad_cfg)
+    # numpy scalar: a device-array pad value would be embedded as a jit
+    # constant needing a device->host transfer (unsupported for complex64 on
+    # some TPU transports)
+    import numpy as np
+    return lax.pad(x, np.zeros((), jnp.dtype(x.dtype)), pad_cfg)
 
 
 def downsample(x: jnp.ndarray, sf: int = 3) -> jnp.ndarray:

@@ -1,0 +1,119 @@
+"""End-to-end CLI tests: sample_condition and analytic_variance run against
+a synthetic checkpoint + dataset and produce the expected artifacts."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def tiny_env(tmp_path_factory, reference_path):
+    """A 32px 'FFHQ-like' setup: random torch UNet checkpoint (.pt), model
+    config JSON, operator YAML, and a 3-image dataset."""
+    import torch
+    from guided_diffusion.unet import UNetModel
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("cli")
+    torch.manual_seed(0)
+    unet = UNetModel(image_size=32, in_channels=3, model_channels=32,
+                     out_channels=6, num_res_blocks=1, attention_resolutions={2},
+                     dropout=0.0, channel_mult=(1, 2), num_heads=4,
+                     num_head_channels=16, use_scale_shift_norm=True,
+                     resblock_updown=True)
+    ckpt_path = root / "model.pt"
+    torch.save(unet.state_dict(), ckpt_path)
+
+    data_dir = root / "val"
+    data_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+            data_dir / f"{i}.png")
+
+    config = {
+        "model": {
+            "type": "openai_ffhq",
+            "input_channels": 3,
+            "input_size": [32, 32],
+            "sigma_min": 1e-2,
+            "sigma_max": 80,
+            "sigma_sample_density": {"type": "lognormal", "mean": -1.2,
+                                     "std": 1.2},
+            "openai": {"num_channels": 32, "num_res_blocks": 1,
+                       "attention_resolutions": "16", "image_size": 32,
+                       "num_head_channels": 16, "channel_mult": "1,2",
+                       "dropout": 0.0},
+        },
+        "dataset": {"type": "imagefolder", "location": str(data_dir)},
+    }
+    config_path = root / "config.json"
+    config_path.write_text(json.dumps(config))
+
+    op_config = {"name": "inpainting", "sigma_s": 0.05,
+                 "mask_opt": {"mask_type": "random",
+                              "mask_prob_range": [0.5, 0.5],
+                              "image_size": 32}}
+    op_path = root / "inpainting.yaml"
+    op_path.write_text(yaml.dump(op_config))
+    return dict(root=root, ckpt=str(ckpt_path), config=str(config_path),
+                op=str(op_path), data=str(data_dir))
+
+
+def test_sample_condition_cli(tiny_env):
+    from kdip_tpu.cli import sample_condition
+
+    logdir = str(tiny_env["root"] / "logs")
+    avg = sample_condition.main([
+        "--checkpoint", tiny_env["ckpt"], "--config", tiny_env["config"],
+        "--operator-config", tiny_env["op"], "--logdir", logdir,
+        "--steps", "3", "--guidance", "I", "--xstart-cov-type", "convert",
+        "--cg-maxiter", "20", "--max-images", "2", "--save-img",
+        "--dtype", "float32"])
+    assert os.path.exists(os.path.join(logdir, "avg_metrics.yaml"))
+    assert os.path.exists(os.path.join(logdir, "args.yaml"))
+    assert os.path.exists(os.path.join(logdir, "out_img_0_measurement.png"))
+    assert os.path.exists(os.path.join(logdir, "out_img_0_hat_x0_sample_0.png"))
+    saved = yaml.safe_load(open(os.path.join(logdir, "avg_metrics.yaml")))
+    assert "psnr" in saved and "ssim" in saved
+    assert np.isfinite(avg["psnr"])
+
+
+def test_sample_condition_cli_dps(tiny_env):
+    from kdip_tpu.cli import sample_condition
+
+    logdir = str(tiny_env["root"] / "logs_dps")
+    avg = sample_condition.main([
+        "--checkpoint", tiny_env["ckpt"], "--config", tiny_env["config"],
+        "--operator-config", tiny_env["op"], "--logdir", logdir,
+        "--steps", "3", "--guidance", "dps", "--xstart-cov-type", "dps",
+        "--zeta", "1.0", "--max-images", "1", "--ode", "--dtype", "float32"])
+    assert np.isfinite(avg["psnr"])
+
+
+def test_analytic_variance_cli(tiny_env):
+    from kdip_tpu.cli import analytic_variance
+
+    logdir = str(tiny_env["root"] / "av")
+    analytic_variance.main([
+        "--config", tiny_env["config"], "--checkpoint", tiny_env["ckpt"],
+        "--num-sigmas", "5", "--batch-size", "2", "--data-fraction", "1.0",
+        "--logdir", logdir, "--dtype", "float32"])
+    data = np.load(os.path.join(logdir, "recon_mse.npz"))
+    assert data["sigmas"].shape == (5,)
+    assert np.isfinite(data["mse_list"]).all()
+
+
+def test_train_cli_smoke(tiny_env):
+    from kdip_tpu.cli import train_openai
+
+    logdir = str(tiny_env["root"] / "train")
+    train_openai.main([
+        "--config", tiny_env["config"], "--checkpoint", tiny_env["ckpt"],
+        "--batch-size", "2", "--max-steps", "2", "--save-every", "2",
+        "--logdir", logdir])
+    assert os.path.exists(os.path.join(logdir, "train_log.csv"))
+    assert os.path.exists(os.path.join(logdir, "state_2"))
