@@ -29,12 +29,13 @@ from .ops import resize as oresize
 class Measurement(struct.PyTreeNode):
     """Per-image measurement state carried through the guided sampler.
 
-    y: measurement in image layout ([B, h, w, C]);
-    FBFy: FBC * fft2(S^T y) for FFT operators (ref: utils_sisr.py:94-95), or
-    None.
+    y: measurement in image layout ([B, h, w, C]). The reference additionally
+    caches FBFy = FBC * fft2(S^T y) on the operator (utils_sisr.py:94-95,
+    measurements.py:108/145/184); here that spectrum is recomputed inside the
+    jitted program where needed (one fused FFT per trajectory) so the pytree
+    carries no complex leaves — see BlurOperator for why.
     """
     y: jnp.ndarray
-    FBFy: Optional[jnp.ndarray] = None
 
 
 # ---------------------------------------------------------------------------
@@ -133,17 +134,32 @@ class BlurOperator(LinearOperator):
     """Circular-convolution blur via precomputed OTF
     (ref: measurements.py:125-199, both gaussian and motion variants).
 
-    FB/FBC/F2B: [H, W] complex/real spectra (ref: utils_sisr.py:79-96).
+    The OTF is stored as separate real/imag float arrays (FB_re, FB_im) and
+    assembled into complex64 inside traced code: complex-valued constants
+    cannot be embedded in jitted programs on TPU transports that lack
+    complex device<->host transfer (complex *arguments* and on-device
+    complex compute are fine).
     """
     kernel: jnp.ndarray  # [kh, kw]
-    FB: jnp.ndarray
-    FBC: jnp.ndarray
-    F2B: jnp.ndarray
+    FB_re: jnp.ndarray   # [H, W] float32
+    FB_im: jnp.ndarray
     _name: str = struct.field(pytree_node=False, default="gaussian_blur")
 
     @property
     def name(self):
         return self._name
+
+    @property
+    def FB(self):
+        return jax.lax.complex(jnp.asarray(self.FB_re), jnp.asarray(self.FB_im))
+
+    @property
+    def FBC(self):
+        return jax.lax.complex(jnp.asarray(self.FB_re), -jnp.asarray(self.FB_im))
+
+    @property
+    def F2B(self):
+        return jnp.asarray(self.FB_re) ** 2 + jnp.asarray(self.FB_im) ** 2
 
     def forward(self, x):
         return offt.ifft2(self.FB[..., :, :, None] * offt.fft2(x)).real
@@ -152,12 +168,15 @@ class BlurOperator(LinearOperator):
         return offt.ifft2(self.FBC[..., :, :, None] * offt.fft2(y)).real
 
     def finalize(self, y):
-        FBFy = self.FBC[..., :, :, None] * offt.fft2(y)
-        return Measurement(y=y, FBFy=FBFy)
+        return Measurement(y=y)
 
     @property
     def pre_calculated(self):
         return self.FB, self.FBC, self.F2B
+
+    def fbfy(self, y):
+        """FBC * fft2(S^T y) (ref: utils_sisr.py:94-95); call inside jit."""
+        return self.FBC[..., :, :, None] * offt.fft2(y)
 
 
 def _build_blur(name: str, in_shape=(1, 3, 256, 256), kernel_size: int = 61,
@@ -174,12 +193,10 @@ def _build_blur(name: str, in_shape=(1, 3, 256, 256), kernel_size: int = 61,
         else:
             kernel = okernels.motion_blur_kernel(kernel_size, intensity, seed=seed)
     kernel = np.asarray(kernel, np.float32)
-    # spectra stay host-side numpy: they embed as jit constants without a
-    # device->host complex transfer (see ops/fft.psf_to_otf_np)
     FB = offt.psf_to_otf_np(kernel, (H, W))
     return BlurOperator(sigma_s=jnp.float32(sigma_s), kernel=jnp.asarray(kernel),
-                        FB=FB, FBC=np.conj(FB),
-                        F2B=np.abs(FB).astype(np.float32) ** 2, _name=name)
+                        FB_re=FB.real.astype(np.float32),
+                        FB_im=FB.imag.astype(np.float32), _name=name)
 
 
 @register_operator("gaussian_blur")
@@ -205,14 +222,25 @@ class SuperResolutionOperator(LinearOperator):
     Mh: jnp.ndarray  # [h, H] bicubic row-resize matrix
     Mw: jnp.ndarray  # [w, W]
     kernel: jnp.ndarray
-    FB: jnp.ndarray
-    FBC: jnp.ndarray
-    F2B: jnp.ndarray
+    FB_re: jnp.ndarray
+    FB_im: jnp.ndarray
     scale_factor: int = struct.field(pytree_node=False, default=4)
 
     @property
     def name(self):
         return "super_resolution"
+
+    @property
+    def FB(self):
+        return jax.lax.complex(jnp.asarray(self.FB_re), jnp.asarray(self.FB_im))
+
+    @property
+    def FBC(self):
+        return jax.lax.complex(jnp.asarray(self.FB_re), -jnp.asarray(self.FB_im))
+
+    @property
+    def F2B(self):
+        return jnp.asarray(self.FB_re) ** 2 + jnp.asarray(self.FB_im) ** 2
 
     def forward(self, x):
         x = jnp.einsum("oh,bhwc->bowc", self.Mh, x)
@@ -223,12 +251,15 @@ class SuperResolutionOperator(LinearOperator):
         return offt.ifft2(FBFy).real
 
     def finalize(self, y):
-        FBFy = self.FBC[..., :, :, None] * offt.fft2(offt.upsample(y, self.scale_factor))
-        return Measurement(y=y, FBFy=FBFy)
+        return Measurement(y=y)
 
     @property
     def pre_calculated(self):
         return self.FB, self.FBC, self.F2B
+
+    def fbfy(self, y):
+        """FBC * fft2(S^T y); call inside jit."""
+        return self.FBC[..., :, :, None] * offt.fft2(offt.upsample(y, self.scale_factor))
 
 
 @register_operator("super_resolution")
@@ -247,9 +278,9 @@ def _build_super_resolution(in_shape=(1, 3, 256, 256), scale_factor: int = 4,
     kernel = np.asarray(kernel, np.float32)
     FB = offt.psf_to_otf_np(kernel, (H, W))
     return SuperResolutionOperator(sigma_s=jnp.float32(sigma_s), Mh=Mh, Mw=Mw,
-                                   kernel=jnp.asarray(kernel), FB=FB,
-                                   FBC=np.conj(FB),
-                                   F2B=np.abs(FB).astype(np.float32) ** 2,
+                                   kernel=jnp.asarray(kernel),
+                                   FB_re=FB.real.astype(np.float32),
+                                   FB_im=FB.imag.astype(np.float32),
                                    scale_factor=sf)
 
 
