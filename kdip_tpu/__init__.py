@@ -10,8 +10,9 @@ the ADM/k-diffusion model families — designed TPU-first: scanned samplers,
 vjp-based guidance, FFT operators in XLA, and mesh sharding for scale-out.
 """
 
-from . import (brownian, ckpt, diffusion, guidance, operators, precond,  # noqa: F401
-               samplers, sampling_api, schedules, train, utils)
+from . import (brownian, ckpt, config, data, ddpm_sampling, diffusion,  # noqa: F401
+               evaluation, gns, guidance, logger, metrics, operators, precond,
+               resample, samplers, sampling_api, schedules, train, utils)
 from . import models, ops, parallel  # noqa: F401
 
 __version__ = "0.1.0"
