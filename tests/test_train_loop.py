@@ -1,0 +1,85 @@
+"""TrainLoop: microbatching, loss-aware sampling, EMA chain, save/resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kdip_tpu import diffusion, logger, resample
+from kdip_tpu.models import adm
+from kdip_tpu.train_loop import TrainLoop, find_resume_checkpoint
+
+
+@pytest.fixture()
+def tiny_setup():
+    model = adm.ADMUNet(image_size=16, model_channels=32, num_res_blocks=1,
+                        attention_resolutions=(2,), channel_mult=(1, 2),
+                        num_heads=2, num_head_channels=16, out_channels=6)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.zeros((1,)))["params"]
+
+    def model_fn(p, x, t):
+        return model.apply({"params": p}, x, t.astype(jnp.float32))
+
+    tables = diffusion.make_diffusion(1000, "linear", "50")
+    rng = np.random.RandomState(0)
+    data = [rng.rand(4, 16, 16, 3).astype(np.float32) * 2 - 1 for _ in range(6)]
+    return model_fn, params, tables, data
+
+
+def test_train_loop_runs_and_saves(tiny_setup, tmp_path):
+    model_fn, params, tables, data = tiny_setup
+    with logger.scoped_configure(dir=str(tmp_path / "logs"), format_strs=["csv"]):
+        loop = TrainLoop(model_fn=model_fn, params=params, tables=tables,
+                         data=iter(data), batch_size=4, microbatch=2,
+                         lr=1e-4, ema_rate="0.5,0.9",
+                         schedule_sampler=resample.LossSecondMomentResampler(50),
+                         save_interval=3, logdir=str(tmp_path / "ckpt"),
+                         loss_type="rescaled_mse", resume=False)
+        loop.run_loop(max_steps=4)
+    assert loop.step == 4
+    assert os.path.isdir(tmp_path / "ckpt" / "model_3")
+    assert os.path.isdir(tmp_path / "ckpt" / "model_4")
+    assert os.path.isdir(tmp_path / "ckpt" / "ema_0.5_3")
+    assert os.path.isdir(tmp_path / "ckpt" / "ema_0.9_3")
+    assert os.path.isdir(tmp_path / "ckpt" / "opt_3")
+    # loss-aware sampler received updates
+    assert loop.schedule_sampler._loss_counts.sum() > 0
+
+
+def test_train_loop_resume(tiny_setup, tmp_path):
+    model_fn, params, tables, data = tiny_setup
+    logdir = str(tmp_path / "ckpt")
+    with logger.scoped_configure(dir=str(tmp_path / "l1"), format_strs=[]):
+        loop1 = TrainLoop(model_fn=model_fn, params=params, tables=tables,
+                          data=iter(data), batch_size=4, lr=1e-4,
+                          save_interval=2, logdir=logdir, resume=False)
+        loop1.run_loop(max_steps=2)
+    assert find_resume_checkpoint(logdir).endswith("model_2")
+    with logger.scoped_configure(dir=str(tmp_path / "l2"), format_strs=[]):
+        loop2 = TrainLoop(model_fn=model_fn, params=params, tables=tables,
+                          data=iter(data), batch_size=4, lr=1e-4,
+                          save_interval=2, logdir=logdir, resume=True)
+    assert loop2.step == 2
+    # resumed params equal saved ones
+    a = jax.tree.leaves(loop1.params)
+    b = jax.tree.leaves(loop2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_training_test_env_short_circuit(tiny_setup, tmp_path, monkeypatch):
+    """DIFFUSION_TRAINING_TEST stops after the first save
+    (ref: train_util.py:164-166)."""
+    model_fn, params, tables, data = tiny_setup
+    monkeypatch.setenv("DIFFUSION_TRAINING_TEST", "1")
+    with logger.scoped_configure(dir=str(tmp_path / "l"), format_strs=[]):
+        loop = TrainLoop(model_fn=model_fn, params=params, tables=tables,
+                         data=iter(data), batch_size=4, lr=1e-4,
+                         save_interval=1, logdir=str(tmp_path / "c"),
+                         resume=False)
+        loop.run_loop(max_steps=10)
+    assert loop.step == 1
