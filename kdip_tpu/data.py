@@ -67,6 +67,80 @@ class FolderOfImages:
             yield np.stack([self[j][0] for j in idxs])
 
 
+def center_crop_arr(arr: np.ndarray, image_size: int) -> np.ndarray:
+    """Downscale-then-center-crop (ref: guided_diffusion/image_datasets.py:
+    126-147): halve with box filter while >= 2x target, then bicubic to
+    target scale, then center crop. Input/output HWC uint8-or-float."""
+    from PIL import Image
+    img = Image.fromarray(arr.astype(np.uint8)) if arr.dtype != np.uint8 \
+        else Image.fromarray(arr)
+    while min(*img.size) >= 2 * image_size:
+        img = img.resize(tuple(x // 2 for x in img.size), resample=Image.BOX)
+    scale = image_size / min(*img.size)
+    img = img.resize(tuple(round(x * scale) for x in img.size),
+                     resample=Image.BICUBIC)
+    out = np.array(img)
+    crop_y = (out.shape[0] - image_size) // 2
+    crop_x = (out.shape[1] - image_size) // 2
+    return out[crop_y:crop_y + image_size, crop_x:crop_x + image_size]
+
+
+def random_crop_arr(arr: np.ndarray, image_size: int,
+                    min_crop_frac: float = 0.8, max_crop_frac: float = 1.0,
+                    rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    """Random-scale crop (ref: guided_diffusion/image_datasets.py:150-167)."""
+    from PIL import Image
+    rng = rng or np.random.RandomState()
+    min_smaller = math.ceil(image_size / max_crop_frac)
+    max_smaller = math.floor(image_size / min_crop_frac)
+    smaller_dim_size = rng.randint(min_smaller, max_smaller + 1)
+    img = Image.fromarray(arr.astype(np.uint8)) if arr.dtype != np.uint8 \
+        else Image.fromarray(arr)
+    while min(*img.size) >= 2 * smaller_dim_size:
+        img = img.resize(tuple(x // 2 for x in img.size), resample=Image.BOX)
+    scale = smaller_dim_size / min(*img.size)
+    img = img.resize(tuple(round(x * scale) for x in img.size),
+                     resample=Image.BICUBIC)
+    out = np.array(img)
+    crop_y = rng.randint(out.shape[0] - image_size + 1)
+    crop_x = rng.randint(out.shape[1] - image_size + 1)
+    return out[crop_y:crop_y + image_size, crop_x:crop_x + image_size]
+
+
+class ImageDataset(FolderOfImages):
+    """Class-conditional image dataset with crop modes
+    (ref: guided_diffusion/image_datasets.py:11-124): class labels parsed
+    from the filename prefix before the first underscore; per-shard slicing
+    replaces MPI sharding."""
+
+    def __init__(self, root: str, image_size: int, class_cond: bool = False,
+                 random_crop: bool = False, shard: int = 0, num_shards: int = 1,
+                 seed: int = 0):
+        super().__init__(root)
+        self.paths = self.paths[shard::num_shards]
+        self.image_size = image_size
+        self.random_crop = random_crop
+        self.rng = np.random.RandomState(seed)
+        self.classes = None
+        if class_cond:
+            names = [p.name.split("_")[0] for p in self.paths]
+            sorted_classes = {c: i for i, c in enumerate(sorted(set(names)))}
+            self.classes = np.array([sorted_classes[n] for n in names])
+
+    def __getitem__(self, idx):
+        from PIL import Image
+        with Image.open(self.paths[idx]) as img:
+            arr = np.asarray(img.convert("RGB"))
+        if self.random_crop:
+            arr = random_crop_arr(arr, self.image_size, rng=self.rng)
+        else:
+            arr = center_crop_arr(arr, self.image_size)
+        arr = arr.astype(np.float32) / 127.5 - 1
+        if self.classes is not None:
+            return arr, int(self.classes[idx])
+        return (arr,)
+
+
 # ---------------------------------------------------------------------------
 # Karras augmentation (ref: k_diffusion/augmentation.py:13-86)
 # ---------------------------------------------------------------------------

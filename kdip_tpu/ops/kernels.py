@@ -126,6 +126,126 @@ def gaussian_soften(k: np.ndarray, sigma: float = 1.0) -> np.ndarray:
         return k
 
 
+# ---------------------------------------------------------------------------
+# MATLAB-style fspecial kernel zoo
+# (ref: condition/diffpir_utils/utils_deblur.py:461-547)
+# ---------------------------------------------------------------------------
+
+def fspecial_average(hsize: int = 3) -> np.ndarray:
+    """Uniform averaging kernel (ref: utils_deblur.py:461-463)."""
+    return np.ones((hsize, hsize)) / (hsize * hsize)
+
+
+def fspecial_disk(radius: int) -> np.ndarray:
+    """Pillbox (disk) kernel via subpixel coverage approximation
+    (ref: utils_deblur.py:466-485)."""
+    rad = 0.6
+    crad = int(np.ceil(rad - 0.5))
+    y, x = np.mgrid[-crad:crad + 1, -crad:crad + 1].astype(float)
+    maxxy = np.maximum(np.abs(x), np.abs(y))
+    minxy = np.minimum(np.abs(x), np.abs(y))
+    with np.errstate(invalid="ignore"):
+        m1 = ((rad ** 2 < (maxxy + 0.5) ** 2 + (minxy - 0.5) ** 2)
+              * (minxy - 0.5)
+              + np.nan_to_num((rad ** 2 >= (maxxy + 0.5) ** 2 + (minxy - 0.5) ** 2)
+                              * np.sqrt(np.maximum(rad ** 2 - (maxxy + 0.5) ** 2, 0))))
+        m2 = ((rad ** 2 > (maxxy - 0.5) ** 2 + (minxy + 0.5) ** 2)
+              * (minxy + 0.5)
+              + np.nan_to_num((rad ** 2 <= (maxxy - 0.5) ** 2 + (minxy + 0.5) ** 2)
+                              * np.sqrt(np.maximum(rad ** 2 - (maxxy - 0.5) ** 2, 0))))
+    sgrid = ((rad ** 2 * (0.5 * (np.arcsin(np.clip(m2 / rad, -1, 1))
+                                 - np.arcsin(np.clip(m1 / rad, -1, 1)))
+                          + 0.25 * (np.sin(2 * np.arcsin(np.clip(m2 / rad, -1, 1)))
+                                    - np.sin(2 * np.arcsin(np.clip(m1 / rad, -1, 1)))))
+              - (maxxy - 0.5) * (m2 - m1) + (m1 - minxy + 0.5))
+             * (((rad ** 2 < (maxxy + 0.5) ** 2 + (minxy + 0.5) ** 2)
+                 & (rad ** 2 > (maxxy - 0.5) ** 2 + (minxy - 0.5) ** 2))
+                | ((minxy == 0) & (maxxy - 0.5 < rad) & (maxxy + 0.5 >= rad))))
+    sgrid = sgrid + ((maxxy + 0.5) ** 2 + (minxy + 0.5) ** 2 < rad ** 2)
+    sgrid[crad, crad] = min(np.pi * rad ** 2, np.pi / 2)
+    if crad > 0 and rad > crad - 0.5 and rad ** 2 < (crad - 0.5) ** 2 + 0.25:
+        m1v = np.sqrt(rad ** 2 - (crad - 0.5) ** 2)
+        m1n = m1v / rad
+        sg0 = 2 * (rad ** 2 * (0.5 * np.arcsin(m1n) + 0.25 * np.sin(2 * np.arcsin(m1n)))
+                   - m1v * (crad - 0.5))
+        sgrid[2 * crad, crad] = sg0
+        sgrid[crad, 2 * crad] = sg0
+        sgrid[crad, 0] = sg0
+        sgrid[0, crad] = sg0
+        sgrid[2 * crad - 1, crad] -= sg0
+        sgrid[crad, 2 * crad - 1] -= sg0
+        sgrid[crad, 1] -= sg0
+        sgrid[1, crad] -= sg0
+    sgrid[crad, crad] = min(sgrid[crad, crad], 1)
+    return sgrid / sgrid.sum()
+
+
+def fspecial_gaussian(hsize: int, sigma: float) -> np.ndarray:
+    """Truncated analytic Gaussian, MATLAB convention
+    (ref: utils_deblur.py:488-499)."""
+    siz = [(hsize - 1.0) / 2.0] * 2
+    std = sigma
+    y, x = np.mgrid[-siz[0]:siz[0] + 1, -siz[1]:siz[1] + 1]
+    arg = -(x * x + y * y) / (2 * std * std)
+    h = np.exp(arg)
+    h[h < np.finfo(float).eps * h.max()] = 0
+    sumh = h.sum()
+    if sumh != 0:
+        h = h / sumh
+    return h
+
+
+def fspecial_laplacian(alpha: float) -> np.ndarray:
+    """(ref: utils_deblur.py:502-508)"""
+    alpha = max(0, min(alpha, 1))
+    h1 = alpha / (alpha + 1)
+    h2 = (1 - alpha) / (alpha + 1)
+    return np.array([[h1, h2, h1], [h2, -4 / (alpha + 1), h2], [h1, h2, h1]])
+
+
+def fspecial_log(hsize: int, sigma: float) -> np.ndarray:
+    """Laplacian of Gaussian (ref: utils_deblur.py:511-512 via MATLAB conv)."""
+    siz = (hsize - 1) / 2
+    std2 = sigma ** 2
+    y, x = np.mgrid[-siz:siz + 1, -siz:siz + 1]
+    arg = -(x * x + y * y) / (2 * std2)
+    h = np.exp(arg)
+    h[h < np.finfo(float).eps * h.max()] = 0
+    h = h / h.sum() if h.sum() != 0 else h
+    h1 = h * (x * x + y * y - 2 * std2) / (std2 ** 2)
+    return h1 - h1.sum() / (hsize * hsize)
+
+
+def fspecial(filter_type: str, *args, **kwargs) -> np.ndarray:
+    """MATLAB fspecial dispatch (ref: utils_deblur.py:527-541)."""
+    if filter_type == "average":
+        return fspecial_average(*args, **kwargs)
+    if filter_type == "disk":
+        return fspecial_disk(*args, **kwargs)
+    if filter_type == "gaussian":
+        return fspecial_gaussian(*args, **kwargs)
+    if filter_type == "laplacian":
+        return fspecial_laplacian(*args, **kwargs)
+    if filter_type == "log":
+        return fspecial_log(*args, **kwargs)
+    raise ValueError(f"unknown fspecial filter: {filter_type}")
+
+
+def load_levin_kernels(path: str) -> list:
+    """Loads the 8 Levin09 deblur kernels (ref: the Levin09.mat data shipped
+    in condition/kernels, used by the DiffPIR kernel zoo). The file is a
+    MATLAB v7.3 (HDF5) container of object references."""
+    import h5py
+    with h5py.File(path, "r") as f:
+        refs = f["kernels"]
+        out = []
+        for i in range(refs.shape[0]):
+            for j in range(refs.shape[1]):
+                k = np.asarray(f[refs[i, j]], dtype=np.float64).T
+                out.append(k / k.sum())
+        return out
+
+
 def load_kernel_npy(path: str) -> np.ndarray:
     """Loads one of the pinned .npy degradation kernels
     (ref: condition/measurements.py:134, 173)."""
