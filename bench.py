@@ -26,7 +26,11 @@ import jax.numpy as jnp
 # Generous reference estimate (see module docstring).
 REF_EST_SAMPLES_PER_SEC = 1.0 / 12.0
 
-BATCH = 4
+# Batch 1 is fastest per-sample on v5e for the guided path: the UNet vjp
+# scales superlinearly with batch (memory-bandwidth-bound backward; full
+# remat measured worse). Multi-sample throughput comes from the dp mesh
+# (parallel/sharding.py), not per-chip batching.
+BATCH = 1
 STEPS = 50
 
 

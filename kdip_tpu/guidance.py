@@ -57,6 +57,11 @@ class GuidanceConfig:
     # CG controls (ref uses scipy tol=1e-4, maxiter=1000, condition.py:343)
     cg_tol: float = 1e-4
     cg_maxiter: int = 100
+    # Precondition CG with the closed-form isotropic solve at the mean
+    # variance (TPU-first optimization; the reference's scipy CG is
+    # unpreconditioned). Solves the same system to the same tolerance with
+    # far fewer iterations.
+    cg_precondition: bool = True
     # autoI probe count for the stochastic trace term
     num_probes: int = 8
 
@@ -156,8 +161,9 @@ def make_openai_v2_uncond(model_apply: Callable, tables: diff.DiffusionTables,
 # pulled back through A^T where applicable (ref: condition.py:303-439)
 # ---------------------------------------------------------------------------
 
-def _cg(matvec, b, cfg: GuidanceConfig):
-    x, _ = jax_cg(matvec, b, tol=cfg.cg_tol, maxiter=cfg.cg_maxiter)
+def _cg(matvec, b, cfg: GuidanceConfig, M=None):
+    x, _ = jax_cg(matvec, b, tol=cfg.cg_tol, maxiter=cfg.cg_maxiter,
+                  M=M if cfg.cg_precondition else None)
     return x
 
 
@@ -174,7 +180,15 @@ def inpainting_mat(op: InpaintingOperator, y, x0_mean, theta0_var, ortho_tf,
     def matvec(v):
         return sigma_s ** 2 * v + mask * iot(theta0_var * ot(v))
 
-    return _cg(matvec, b, cfg)
+    # Jacobi-style preconditioner: the closed-form isotropic solve at the
+    # mean variance (exact inverse when theta0_var is constant and the
+    # ortho transform is the identity).
+    theta_bar = jnp.mean(theta0_var)
+
+    def precond(v):
+        return v / (sigma_s ** 2 + mask * theta_bar)
+
+    return _cg(matvec, b, cfg, M=precond)
 
 
 def deblur_mat(op: BlurOperator, y, x0_mean, theta0_var, ortho_tf,
@@ -195,7 +209,15 @@ def deblur_mat(op: BlurOperator, y, x0_mean, theta0_var, ortho_tf,
         Cu = iot(theta0_var * ot(Au))
         return sigma_s ** 2 * u + offt.ifft2(FB[..., None] * offt.fft2(Cu)).real
 
-    u = _cg(matvec, b, cfg)
+    # preconditioner: exact FFT inverse of the isotropic system at the mean
+    # variance, (sigma_s^2 + theta_bar |FB|^2)^{-1} in the Fourier domain
+    theta_bar = jnp.mean(theta0_var)
+
+    def precond(u):
+        return offt.ifft2(offt.fft2(u)
+                          / (sigma_s ** 2 + theta_bar * F2B[..., None])).real
+
+    u = _cg(matvec, b, cfg, M=precond)
     return offt.ifft2(FBC[..., None] * offt.fft2(u)).real
 
 
@@ -234,7 +256,19 @@ def super_resolution_mat(op: SuperResolutionOperator, y, x0_mean, theta0_var,
         Cu = iot(theta0_var * ot(ATu))
         return sigma_s ** 2 * u + A_fft(Cu).real
 
-    u = _cg(matvec, b, cfg)
+    # preconditioner: exact low-res Fourier inverse of the isotropic system
+    # (sigma_s^2 + theta_bar * invW)^{-1}, invW = block-mean of |FB|^2
+    theta_bar = jnp.mean(theta0_var)
+    H, W = F2B.shape[-2:]
+    invW = jnp.mean(jnp.asarray(F2B).reshape(sf, H // sf, sf, W // sf)
+                    .transpose(1, 3, 0, 2).reshape(H // sf, W // sf, -1),
+                    axis=-1)
+
+    def precond(u):
+        return offt.ifft2(offt.fft2(u)
+                          / (sigma_s ** 2 + theta_bar * invW[..., None])).real
+
+    u = _cg(matvec, b, cfg, M=precond)
     return AT_fft(u).real
 
 
