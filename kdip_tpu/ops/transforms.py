@@ -145,7 +145,8 @@ class OrthoTransform:
     close over in jitted functions.
     """
 
-    def __init__(self, ortho_tf_type: Optional[str] = None, level: int = 3):
+    def __init__(self, ortho_tf_type: Optional[str] = None, level: int = 3,
+                 use_pallas: bool = False):
         self.ortho_tf_type = ortho_tf_type
         self.level = level
         if ortho_tf_type is None:
@@ -155,8 +156,13 @@ class OrthoTransform:
             self._fwd = dct
             self._inv = idct
         elif ortho_tf_type == "dwt":
-            self._fwd = partial(dwt2, level=level)
-            self._inv = partial(idwt2, level=level)
+            if use_pallas:
+                from .pallas_dwt import dwt2_pallas, idwt2_pallas
+                self._fwd = lambda x: dwt2_pallas(x, level)
+                self._inv = lambda x: idwt2_pallas(x, level)
+            else:
+                self._fwd = partial(dwt2, level=level)
+                self._inv = partial(idwt2, level=level)
         else:
             raise ValueError(f"unknown ortho_tf_type: {ortho_tf_type}")
 
