@@ -34,6 +34,30 @@ def compute_features(sample_fn: Callable, extractor_fn: Callable, n: int,
     return jnp.concatenate(feats)[:n]
 
 
+def make_clip_extractor(model_path: str, mesh=None):
+    """CLIP image-feature extractor (the reference's CLIPFeatureExtractor,
+    k_diffusion/evaluation.py:36-50) via transformers' Flax CLIP vision
+    tower. `model_path` must be a local checkpoint directory (this
+    environment has no network egress). Returns fn(batch_nhwc_[-1,1]) ->
+    [N, D] pooled features."""
+    from transformers import FlaxCLIPVisionModel
+    model = FlaxCLIPVisionModel.from_pretrained(model_path)
+    size = model.config.image_size
+    mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
+    std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
+
+    @jax.jit
+    def extract(batch):
+        x = (batch + 1) / 2
+        x = jax.image.resize(x, (x.shape[0], size, size, 3), "bicubic")
+        x = (x - mean) / std
+        out = model(pixel_values=x.transpose(0, 3, 1, 2))
+        feats = out.pooler_output
+        return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+    return extract
+
+
 def polynomial_kernel(x, y):
     """(ref: k_diffusion/evaluation.py:66-69)"""
     d = x.shape[-1]

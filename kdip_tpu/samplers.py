@@ -499,6 +499,60 @@ def sample_dpm_fast(denoise: Callable, x, sigma_min, sigma_max, n: int, key,
     return x
 
 
+def log_likelihood(denoise: Callable, x, sigma_min, sigma_max, key,
+                   steps: int = 100):
+    """Exact-ODE log-likelihood of `x` under the model
+    (ref: k_diffusion/sampling.py:279-299).
+
+    Integrates the probability-flow ODE from sigma_min to sigma_max with the
+    divergence term estimated by a fixed Hutchinson probe (Rademacher v,
+    like the reference), accumulating the log-density change. The reference
+    uses torchdiffeq dopri5; here the trajectory is a fixed-step RK4 scan in
+    log-sigma (`steps` controls accuracy), keeping the whole evaluation one
+    XLA program.
+
+    Returns (ll [B], info dict with 'fevals').
+    """
+    B = x.shape[0]
+    k_v, k_run = jax.random.split(key)
+    v = jax.random.rademacher(k_v, x.shape, dtype=x.dtype)
+
+    def ode_fn(x, sigma):
+        def d_fn(xx):
+            return to_d(xx, sigma, denoise(xx, sigma, None))
+        d, vjp_fn = jax.vjp(d_fn, x)
+        grad = vjp_fn(v)[0]
+        d_ll = jnp.sum((v * grad).reshape(B, -1), axis=1)
+        return d, d_ll
+
+    # RK4 in t = log(sigma): dx/dt = sigma * dx/dsigma
+    t0, t1 = math.log(sigma_min), math.log(sigma_max)
+    h = (t1 - t0) / steps
+    ts = t0 + h * jnp.arange(steps)
+
+    def rhs(state, t):
+        x, _ = state
+        sigma = jnp.exp(t)
+        d, d_ll = ode_fn(x, sigma)
+        return d * sigma, d_ll * sigma
+
+    def step(carry, t):
+        x, ll = carry
+        k1x, k1l = rhs((x, ll), t)
+        k2x, k2l = rhs((x + h / 2 * k1x, ll), t + h / 2)
+        k3x, k3l = rhs((x + h / 2 * k2x, ll), t + h / 2)
+        k4x, k4l = rhs((x + h * k3x, ll), t + h)
+        x = x + h / 6 * (k1x + 2 * k2x + 2 * k3x + k4x)
+        ll = ll + h / 6 * (k1l + 2 * k2l + 2 * k3l + k4l)
+        return (x, ll), None
+
+    (latent, delta_ll), _ = lax.scan(step, (x, jnp.zeros((B,), x.dtype)), ts)
+    ll_prior = jnp.sum(
+        jax.scipy.stats.norm.logpdf(latent, scale=sigma_max).reshape(B, -1),
+        axis=1)
+    return ll_prior + delta_ll, {"fevals": 4 * steps}
+
+
 class PIDStepSizeController:
     """PID controller for adaptive step sizing (ref: k_diffusion/sampling.py:302-328).
     Host-side (controls the outer Python loop of `sample_dpm_adaptive`)."""
