@@ -14,32 +14,25 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P  # noqa: F401 (caller API)
 
 
-def per_device_grad_norms(grads, mesh: Mesh, axis: str = "dp"):
+def grad_norm_stats(local_grads, axis: str = "dp"):
     """Returns (sq_norm_small, sq_norm_big): the mean per-device gradient
-    squared norm and the squared norm of the mean gradient — the two
-    statistics GradientNoiseScale.update_stats consumes
-    (ref: k_diffusion/gns.py:37-78).
+    squared norm and the squared norm of the cross-device mean gradient —
+    the two statistics `GradientNoiseScale.update` consumes
+    (ref: k_diffusion/gns.py:37-78, which captures them with a DDP comm hook).
 
-    Call inside a jitted function whose grads were computed on dp-sharded
-    batches BEFORE the psum mean (use shard_map around the loss grad), or
-    pass grads computed per-device.
+    Must be called INSIDE `shard_map` over the dp mesh axis, with
+    `local_grads` the gradients of this device's microbatch (before any
+    psum). The cross-device reductions become ICI collectives.
     """
-    flat = jnp.concatenate([g.reshape(-1) for g in jax.tree.leaves(grads)])
-
-    def stats(local_flat):
-        sq_local = jnp.sum(local_flat ** 2)
-        mean_grad = jax.lax.pmean(local_flat, axis)
-        sq_small = jax.lax.pmean(sq_local, axis)
-        sq_big = jnp.sum(mean_grad ** 2)
-        return sq_small, sq_big
-
-    return shard_map(stats, mesh=mesh, in_specs=P(axis), out_specs=(P(), P()))(
-        jnp.tile(flat, (mesh.devices.size,)).reshape(mesh.devices.size, -1)
-        if flat.ndim == 1 else flat)
+    flat = jnp.concatenate([g.reshape(-1) for g in jax.tree.leaves(local_grads)])
+    sq_local = jnp.sum(flat ** 2)
+    mean_grad = jax.lax.pmean(flat, axis)
+    sq_small = jax.lax.pmean(sq_local, axis)
+    sq_big = jnp.sum(mean_grad ** 2)
+    return sq_small, sq_big
 
 
 class GradientNoiseScale:

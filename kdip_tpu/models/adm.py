@@ -18,6 +18,7 @@ from dataclasses import field
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import (AttentionBlock, Downsample, GroupNorm32, ResBlock,
@@ -160,6 +161,21 @@ class ADMUNet(nn.Module):
         if return_feature:
             return out, h
         return out
+
+
+class SuperResADMUNet(nn.Module):
+    """UNet conditioned on a bilinear-upsampled low-res image
+    (ref: guided_diffusion/unet.py:671-685 SuperResModel): the low-res
+    conditioning concatenates onto the input channels."""
+    unet: ADMUNet  # build with in_channels = 2 * image channels
+
+    @nn.compact
+    def __call__(self, x, timesteps, low_res=None, **kwargs):
+        B, H, W, C = x.shape
+        upsampled = jax.image.resize(low_res, (low_res.shape[0], H, W, C),
+                                     "bilinear")
+        return self.unet(jnp.concatenate([x, upsampled], axis=-1), timesteps,
+                         **kwargs)
 
 
 class ADMUNetV2(nn.Module):

@@ -275,6 +275,24 @@ class ImageDenoiserModelV2(nn.Module):
         return h
 
 
+def karras_augment_wrapper(model_apply):
+    """Feeds the 9-dim augmentation conditioning into the mapping net
+    (ref: k_diffusion/augmentation.py:89-101 KarrasAugmentWrapper):
+    aug_cond defaults to zeros; an extra mapping_cond concatenates after it.
+
+    model_apply(params, x, sigma, mapping_cond=...) -> output.
+    """
+    def apply(params, x, sigma, aug_cond=None, mapping_cond=None, **kwargs):
+        if aug_cond is None:
+            aug_cond = jnp.zeros((x.shape[0], 9), x.dtype)
+        if mapping_cond is None:
+            mapping_cond = aug_cond
+        else:
+            mapping_cond = jnp.concatenate([aug_cond, mapping_cond], axis=1)
+        return model_apply(params, x, sigma, mapping_cond=mapping_cond, **kwargs)
+    return apply
+
+
 class ImageDenoiserModelV1(nn.Module):
     """(ref: k_diffusion/models/image_v1.py:87-156). The variance variant
     emits a single scalar logvar per image (image_v1.py:131-132)."""

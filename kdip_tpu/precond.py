@@ -11,7 +11,7 @@ with jax.jit / jax.vjp / shard_map.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 
@@ -110,6 +110,9 @@ def make_discrete_eps_denoiser(model_apply: Callable, log_sigmas: jnp.ndarray,
     """Discrete-schedule eps-model denoiser (ref: k_diffusion/external.py:88-114).
 
     model_apply(params, x_scaled, t, **kw) -> eps (already sliced to C channels).
+    This is also the CompVis (latent-diffusion) adapter shape — the reference's
+    CompVisDenoiser (external.py:172-179) only differs in routing through
+    `apply_model`, which callers fold into model_apply.
     """
     def denoise(params, x, sigma, **kwargs):
         c_out, c_in = [append_dims(c, x.ndim) for c in eps_scalings(sigma)]
@@ -117,3 +120,31 @@ def make_discrete_eps_denoiser(model_apply: Callable, log_sigmas: jnp.ndarray,
         eps = model_apply(params, x * c_in, t, **kwargs)
         return x + eps * c_out
     return denoise
+
+
+def make_discrete_v_denoiser(model_apply: Callable, log_sigmas: jnp.ndarray,
+                             quantize: bool = False,
+                             sigma_data: float = 1.0) -> Callable:
+    """Discrete-schedule v-prediction denoiser
+    (ref: k_diffusion/external.py:182-218, DiscreteVDDPMDenoiser /
+    CompVisVDenoiser)."""
+    def denoise(params, x, sigma, **kwargs):
+        c_skip, c_out, c_in = [append_dims(c, x.ndim)
+                               for c in v_scalings(sigma, sigma_data)]
+        t = sigma_to_t(log_sigmas, sigma, quantize=quantize)
+        v = model_apply(params, x * c_in, t, **kwargs)
+        return v * c_out + x * c_skip
+    return denoise
+
+
+def schedule_sigmas(log_sigmas: jnp.ndarray, n: Optional[int] = None) -> jnp.ndarray:
+    """Sampling schedule from a discrete sigma table
+    (ref: k_diffusion/external.py:60-65 DiscreteSchedule.get_sigmas):
+    descending, zero-terminated; interpolated when n is given."""
+    from .schedules import append_zero
+    sigmas = jnp.exp(log_sigmas)
+    if n is None:
+        return append_zero(sigmas[::-1])
+    t_max = log_sigmas.shape[0] - 1
+    t = jnp.linspace(t_max, 0, n)
+    return append_zero(t_to_sigma(log_sigmas, t))
