@@ -22,6 +22,29 @@ def append_dims(x, target_ndim):
 
 
 # ---------------------------------------------------------------------------
+# Precision (the bf16-native equivalent of guided_diffusion/fp16_util.py)
+# ---------------------------------------------------------------------------
+
+def cast_params(params, dtype):
+    """Casts all float leaves of a param tree (the reference's
+    convert_module_to_f16, fp16_util.py:15-32; on TPU the torso runs bf16
+    with fp32 master params and needs no dynamic loss scaling)."""
+    def cast(p):
+        if jnp.issubdtype(p.dtype, jnp.floating):
+            return p.astype(dtype)
+        return p
+    return jax.tree.map(cast, params)
+
+
+def master_param_update(master_params, updates):
+    """fp32 master-param pattern: apply (possibly lower-precision) updates to
+    the fp32 master copy (fp16_util.py MixedPrecisionTrainer:148-236)."""
+    return jax.tree.map(lambda m, u: (m.astype(jnp.float32)
+                                      + u.astype(jnp.float32)), master_params,
+                        updates)
+
+
+# ---------------------------------------------------------------------------
 # EMA
 # ---------------------------------------------------------------------------
 
