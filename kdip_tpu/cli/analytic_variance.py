@@ -23,7 +23,6 @@ def main(argv=None):
 
     from .. import ckpt, config as kconfig, precond, schedules, train
     from ..data import FolderOfImages
-    from ..schedules import append_dims
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", type=str, required=True)

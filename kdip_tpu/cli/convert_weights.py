@@ -15,7 +15,6 @@ Converts the external artifacts the reference consumes
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
 

@@ -27,7 +27,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import optax
 
-    from .. import ckpt, config as kconfig, diffusion, train
+    from .. import ckpt, config as kconfig, train
     from ..data import FolderOfImages, KarrasAugmentationPipeline, augment_batch
     from ..models import adm as adm_mod
     from ..ops.transforms import OrthoTransform

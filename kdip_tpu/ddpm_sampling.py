@@ -17,10 +17,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .diffusion import (DiffusionTables, extract, learned_range_variance,
-                        p_mean_variance, predict_eps_from_xstart,
-                        predict_xstart_from_eps, q_posterior_mean_variance,
-                        q_sample)
+from .diffusion import (DiffusionTables, extract, p_mean_variance,
+                        predict_eps_from_xstart, predict_xstart_from_eps,
+                        q_posterior_mean_variance, q_sample)
 
 
 # ---------------------------------------------------------------------------

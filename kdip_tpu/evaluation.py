@@ -10,7 +10,7 @@ converted offline like the UNet checkpoints).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

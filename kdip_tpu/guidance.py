@@ -25,8 +25,7 @@ diffpir, tmpd; plus the V2 learned (DWT/DCT) heads.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -192,7 +191,7 @@ def inpainting_mat(op: InpaintingOperator, y, x0_mean, theta0_var, ortho_tf,
 
 
 def deblur_mat(op: BlurOperator, y, x0_mean, theta0_var, ortho_tf,
-               iso: bool, cfg: GuidanceConfig, FBFy=None):
+               iso: bool, cfg: GuidanceConfig):
     """(ref: condition.py:351-398)"""
     sigma_s = jnp.clip(op.sigma_s, min=0.001)
     FB, FBC, F2B = op.FB, op.FBC, op.F2B
@@ -301,9 +300,15 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
     ortho_tf = OrthoTransform(cfg.ortho_tf_type)
     y = measurement.y
     guidance = cfg.guidance
-    # Is the covariance isotropic (scalar per batch) => closed-form solver?
-    iso_cov = {"pgdm": True, "dps": True, "diffpir": True,
-               "convert": False, "analytic": False, "tmpd": False}
+    # Solver-branch structure per covariance type (matching the reference's
+    # theta0_var.numel()==1 dispatch, condition.py:322/356/408):
+    #   "iso"     — always scalar => closed form ('pgdm','dps','diffpir', and
+    #               'analytic': a per-sigma scalar from the MC table)
+    #   "switch"  — tensor below mle_sigma_thres, scalar above ('convert' and
+    #               the V2 learned heads): lax.cond picks CG vs closed form
+    #   "tensor"  — always tensor => CG ('tmpd')
+    iso_kind = {"pgdm": "iso", "dps": "iso", "diffpir": "iso",
+                "analytic": "iso", "convert": "switch", "tmpd": "tensor"}
 
     def _moments_and_vjp(x, sigma):
         (x0_mean, aux), vjp_fn = jax.vjp(
@@ -325,14 +330,30 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
         # ref: condition.py:170-171 — use theta0_var in ortho basis if set
         return x0_var if cfg.ortho_tf_type is None else theta0_var
 
-    def _is_iso(sigma_branch_mle: bool) -> bool:
-        """Whether the solver variance is a scalar (closed-form branch).
-        Static: depends only on cov type / guidance mode."""
-        if sigma_branch_mle:
-            return True
-        if v2:
-            return False
-        return iso_cov[cfg.x0_cov_type]
+    kind = "switch" if v2 else iso_kind[cfg.x0_cov_type]
+
+    def _solve(x0_mean, svar, sigma):
+        """Dispatches closed-form vs CG like the reference's numel()==1
+        check; for 'switch' covariances the branch is a runtime lax.cond on
+        the mle threshold (only one branch executes per step)."""
+        if kind == "iso":
+            # svar may be a broadcast tensor of a per-image scalar; reduce
+            sv = svar if jnp.ndim(svar) == 0 else jnp.mean(svar)
+            return mat_solver(operator, y, x0_mean, sv, ortho_tf, True, cfg)
+        if kind == "tensor":
+            return mat_solver(operator, y, x0_mean, svar, ortho_tf, False, cfg)
+
+        def cg_branch(args):
+            x0m, sv = args
+            return mat_solver(operator, y, x0m, sv, ortho_tf, False, cfg)
+
+        def closed_branch(args):
+            x0m, sv = args
+            return mat_solver(operator, y, x0m, mle_var(sigma), ortho_tf,
+                              True, cfg)
+
+        return lax.cond(sigma < cfg.mle_sigma_thres, cg_branch, closed_branch,
+                        (x0_mean, svar))
 
     # --- guidance implementations ---
 
@@ -341,8 +362,7 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
         x0_mean, aux, mean_vjp = _moments_and_vjp(x, sigma)
         x0_var, theta0_var = _variances(aux, sigma, mean_vjp, x.shape)
         svar = _solver_var(x0_var, theta0_var)
-        mat = mat_solver(operator, y, x0_mean, svar, ortho_tf,
-                         _is_iso(False), cfg)
+        mat = _solve(x0_mean, svar, sigma)
         score = mean_vjp(lax.stop_gradient(mat))[0]
         return x0_mean + sigma ** 2 * score
 
@@ -352,8 +372,7 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
         # type II never needs the tmpd vjp (tmpd is a type-I covariance)
         x0_var, theta0_var = _variances(aux, sigma, None, x.shape)
         svar = _solver_var(x0_var, theta0_var)
-        mat = mat_solver(operator, y, x0_mean, svar, ortho_tf,
-                         _is_iso(False), cfg)
+        mat = _solve(x0_mean, svar, sigma)
         return x0_mean + ortho_tf.inv(ortho_tf(mat) * svar)
 
     def dps(x, sigma, key):

@@ -14,8 +14,7 @@ published `.pt` files is a mechanical key/layout mapping (see kdip_tpu/ckpt.py).
 
 from __future__ import annotations
 
-from dataclasses import field
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

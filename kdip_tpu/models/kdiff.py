@@ -12,13 +12,12 @@ NHWC layout; attention as MXU einsums; FIR resampling as depthwise convs.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..schedules import append_dims
 
 _FIR_KERNELS = {
     "linear": [1 / 8, 3 / 8, 3 / 8, 1 / 8],

@@ -10,7 +10,7 @@ batched einsums that XLA tiles onto the MXU.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

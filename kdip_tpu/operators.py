@@ -14,7 +14,7 @@ All images are NHWC in [-1, 1]. Randomness is explicit via keys.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

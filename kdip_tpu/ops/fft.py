@@ -28,6 +28,22 @@ def ifft2(x):
     return jnp.fft.ifftn(x, axes=_SPATIAL)
 
 
+def fft2c(x):
+    """Centered orthonormal 2-D FFT over the spatial axes
+    (ref: condition/dps_utils/fastmri_utils.py fft2c_new and
+    dps_utils/img_utils.py:26 fft2_m)."""
+    x = jnp.fft.ifftshift(x, axes=_SPATIAL)
+    x = jnp.fft.fftn(x, axes=_SPATIAL, norm="ortho")
+    return jnp.fft.fftshift(x, axes=_SPATIAL)
+
+
+def ifft2c(x):
+    """Inverse of fft2c."""
+    x = jnp.fft.ifftshift(x, axes=_SPATIAL)
+    x = jnp.fft.ifftn(x, axes=_SPATIAL, norm="ortho")
+    return jnp.fft.fftshift(x, axes=_SPATIAL)
+
+
 def psf_to_otf_np(psf, shape):
     """Host-side (numpy) psf_to_otf for operator construction.
 

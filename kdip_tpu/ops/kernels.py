@@ -15,7 +15,7 @@ Native replacements for the reference's kernel sources:
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

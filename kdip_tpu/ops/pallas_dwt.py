@@ -25,7 +25,6 @@ kernel (W^T == W^{-1}), matching the reference's LinearFunction trick
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

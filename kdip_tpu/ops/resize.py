@@ -14,7 +14,6 @@ are trivially linear/differentiable (adjoint = transposed matrices).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional, Tuple
 
 import jax.numpy as jnp

@@ -17,11 +17,9 @@ can shard params too (fully-sharded DP for larger models).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

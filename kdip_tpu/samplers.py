@@ -17,15 +17,14 @@ descending schedule ending in 0 (see `schedules.get_sigmas_karras`).
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from .brownian import BrownianTreeNoiseSampler
-from .schedules import append_dims, get_ancestral_step, to_d
+from .schedules import get_ancestral_step, to_d
 
 
 def default_noise_sampler(key, shape, dtype=jnp.float32):

@@ -14,9 +14,7 @@ Instead of Lightning/DDP, training is a pure jitted step over a `Mesh`
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +24,7 @@ from flax import struct
 from . import precond
 from .ops.transforms import OrthoTransform
 from .schedules import append_dims
-from .utils import ema_update, make_sample_density
+from .utils import ema_update
 
 
 # ---------------------------------------------------------------------------
