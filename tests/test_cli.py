@@ -107,6 +107,72 @@ def test_analytic_variance_cli(tiny_env):
     assert np.isfinite(data["mse_list"]).all()
 
 
+def test_sample_condition_cli_v2(tiny_env):
+    """--v2 path: Lightning-style checkpoint (model_ema.inner_model.* +
+    model_ema.out_cov.*) through the learned-covariance guidance."""
+    import torch
+    from guided_diffusion.unet import UNetModel
+
+    torch.manual_seed(0)
+    unet = UNetModel(image_size=32, in_channels=3, model_channels=32,
+                     out_channels=6, num_res_blocks=1, attention_resolutions={2},
+                     dropout=0.0, channel_mult=(1, 2), num_heads=4,
+                     num_head_channels=16, use_scale_shift_norm=True,
+                     resblock_updown=True)
+    out_cov = torch.nn.Conv2d(32, 6, 1)
+    sd = {}
+    for k, v in unet.state_dict().items():
+        sd[f"model_ema.inner_model.{k}"] = v
+    sd["model_ema.out_cov.weight"] = out_cov.weight.detach()
+    sd["model_ema.out_cov.bias"] = out_cov.bias.detach()
+    ckpt_path = str(tiny_env["root"] / "v2.ckpt")
+    torch.save({"state_dict": sd}, ckpt_path)
+
+    # dwt config variant
+    import json
+    cfg = json.load(open(tiny_env["config"]))
+    cfg["model"]["ortho_tf_type"] = "dwt"
+    cfg_path = str(tiny_env["root"] / "config_dwt.json")
+    json.dump(cfg, open(cfg_path, "w"))
+
+    from kdip_tpu.cli import sample_condition
+    logdir = str(tiny_env["root"] / "logs_v2")
+    avg = sample_condition.main([
+        "--checkpoint", ckpt_path, "--config", cfg_path,
+        "--operator-config", tiny_env["op"], "--logdir", logdir,
+        "--steps", "3", "--guidance", "I", "--v2", "--cg-maxiter", "20",
+        "--max-images", "1", "--ode", "--dtype", "float32"])
+    assert np.isfinite(avg["psnr"])
+
+    # --spatial-var disables the ortho transform
+    avg2 = sample_condition.main([
+        "--checkpoint", ckpt_path, "--config", cfg_path,
+        "--operator-config", tiny_env["op"],
+        "--logdir", str(tiny_env["root"] / "logs_v2s"),
+        "--steps", "3", "--guidance", "I", "--v2", "--spatial-var",
+        "--cg-maxiter", "20", "--max-images", "1", "--ode",
+        "--dtype", "float32"])
+    assert np.isfinite(avg2["psnr"])
+
+
+def test_box_mask_inpainting(tiny_env):
+    """Box-mask operator config (paper's alternate mask type)."""
+    import yaml as _yaml
+    from kdip_tpu.cli import sample_condition
+    op_config = {"name": "inpainting", "sigma_s": 0.05,
+                 "mask_opt": {"mask_type": "box", "mask_len_range": [8, 9],
+                              "image_size": 32}}
+    op_path = str(tiny_env["root"] / "box.yaml")
+    _yaml.dump(op_config, open(op_path, "w"))
+    avg = sample_condition.main([
+        "--checkpoint", tiny_env["ckpt"], "--config", tiny_env["config"],
+        "--operator-config", op_path,
+        "--logdir", str(tiny_env["root"] / "logs_box"),
+        "--steps", "3", "--guidance", "II", "--xstart-cov-type", "convert",
+        "--cg-maxiter", "20", "--max-images", "1", "--dtype", "float32"])
+    assert np.isfinite(avg["psnr"])
+
+
 def test_train_cli_smoke(tiny_env):
     from kdip_tpu.cli import train_openai
 
