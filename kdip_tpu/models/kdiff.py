@@ -81,6 +81,37 @@ class SelfAttention2d(nn.Module):
         return x + nn.Conv(C, (1, 1), name="out_proj")(y)
 
 
+class CrossAttention2d(nn.Module):
+    """Cross-attention from 2-D features to an encoder sequence
+    (ref: k_diffusion/layers.py:173-202): queries from AdaGN-normalized
+    pixels, keys/values from a LayerNorm'd conditioning sequence, additive
+    -1e4 masking of padded positions."""
+    c_dec: int
+    c_enc: int
+    n_head: int
+    norm_groups: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, cond, cross, cross_padding, deterministic: bool = True):
+        B, H, W, C = x.shape
+        q = nn.Conv(C, (1, 1), name="q_proj")(
+            AdaGN(self.c_dec, self.norm_groups, name="norm_dec")(x, cond))
+        q = q.reshape(B, H * W, self.n_head, C // self.n_head)
+        enc = nn.LayerNorm(name="norm_enc")(cross)
+        kv = nn.Dense(C * 2, name="kv_proj")(enc)
+        kv = kv.reshape(B, -1, 2 * self.n_head, C // self.n_head)
+        k, v = jnp.split(kv, 2, axis=2)
+        scale = (C // self.n_head) ** -0.25
+        att = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale,
+                         preferred_element_type=jnp.float32)
+        att = att - cross_padding[:, None, None, :] * 10000
+        att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
+        att = nn.Dropout(self.dropout_rate)(att, deterministic=deterministic)
+        y = jnp.einsum("bhts,bshc->bthc", att, v).reshape(B, H, W, C)
+        return x + nn.Conv(C, (1, 1), name="out_proj")(y)
+
+
 def _fir_kernel_2d(name: str, scale: float = 1.0) -> jnp.ndarray:
     k1 = jnp.asarray(_FIR_KERNELS[name]) * scale
     return jnp.outer(k1, k1)

@@ -107,6 +107,22 @@ def test_edm_variance_training_step(v2_model):
     assert bool(jnp.isfinite(m["loss"]))
 
 
+def test_cross_attention_masking():
+    """CrossAttention2d: padded encoder positions are fully masked out
+    (ref: k_diffusion/layers.py:196-197)."""
+    m = kdiff.CrossAttention2d(c_dec=32, c_enc=16, n_head=2, norm_groups=4)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 32))
+    cond = jax.random.normal(jax.random.key(1), (2, 64))
+    cross = jax.random.normal(jax.random.key(2), (2, 5, 16))
+    pad = jnp.zeros((2, 5)).at[:, 3:].set(1.0)
+    p = m.init(jax.random.key(3), x, cond, cross, pad)["params"]
+    out = m.apply({"params": p}, x, cond, cross, pad)
+    assert out.shape == x.shape
+    # changing masked positions must not change the output
+    out2 = m.apply({"params": p}, x, cond, cross.at[:, 3:].set(100.0), pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=2e-4)
+
+
 def test_gns_inside_shard_map():
     from jax.sharding import PartitionSpec as P
     from kdip_tpu import gns
