@@ -155,6 +155,22 @@ def test_sample_condition_cli_v2(tiny_env):
     assert np.isfinite(avg2["psnr"])
 
 
+def test_cli_seed_determinism(tiny_env):
+    """Same --seed => bitwise-identical metrics (explicit key threading; the
+    reference relies on global torch RNG and cannot guarantee this)."""
+    from kdip_tpu.cli import sample_condition
+    args = ["--checkpoint", tiny_env["ckpt"], "--config", tiny_env["config"],
+            "--operator-config", tiny_env["op"], "--steps", "3",
+            "--guidance", "pgdm", "--xstart-cov-type", "pgdm",
+            "--max-images", "1", "--dtype", "float32", "--seed", "5"]
+    a = sample_condition.main(args + ["--logdir", str(tiny_env["root"] / "d1")])
+    b = sample_condition.main(args + ["--logdir", str(tiny_env["root"] / "d2")])
+    assert a["psnr"] == b["psnr"] and a["ssim"] == b["ssim"]
+    c = sample_condition.main(args[:-1] + ["7", "--logdir",
+                                           str(tiny_env["root"] / "d3")])
+    assert c["psnr"] != a["psnr"]
+
+
 def test_box_mask_inpainting(tiny_env):
     """Box-mask operator config (paper's alternate mask type)."""
     import yaml as _yaml
