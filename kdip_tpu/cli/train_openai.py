@@ -22,6 +22,34 @@ import time
 import numpy as np
 
 
+def _save_preview(model, ema_params, tables, size, model_config, args, step):
+    """EMA unconditional sample grid via dpmpp_2m
+    (ref: train_openai.py:99-117 on_train_epoch_start preview)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import precond, samplers, schedules
+    from .sample_condition import to_pil_image
+
+    def model_apply(p, x_scaled, t):
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x_scaled.shape[0],))
+        eps, _, _ = model.apply({"params": p}, x_scaled, t)
+        return eps
+
+    denoise = precond.make_discrete_eps_denoiser(model_apply, tables.log_sigmas)
+    sigmas = schedules.get_sigmas_karras(args.preview_steps,
+                                         model_config.get("sigma_min", 1e-2),
+                                         model_config.get("sigma_max", 80.0))
+    key = jax.random.key(step)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (4, size, size, 3)) * sigmas[0]
+    out = samplers.sample_dpmpp_2m(
+        lambda xx, s, k: denoise(ema_params, xx, s), x, sigmas, k2)
+    import numpy as np
+    grid = np.concatenate(list(np.asarray(out)), axis=1)
+    to_pil_image(grid).save(os.path.join(args.logdir, f"preview_{step}.png"))
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -44,6 +72,10 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--max-steps", type=int, default=10000)
     p.add_argument("--save-every", type=int, default=1000)
+    p.add_argument("--preview-every", type=int, default=0,
+                   help="if >0, save a dpmpp_2m EMA sample grid every N steps "
+                        "(ref: train_openai.py:106-117 per-epoch preview)")
+    p.add_argument("--preview-steps", type=int, default=50)
     p.add_argument("--logdir", type=str, default="runs/train_openai")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -123,6 +155,9 @@ def main(argv=None):
                 print(f"step {step}: loss {loss:.4f} ema {decay:.5f}", flush=True)
                 logger.writerow([step, loss, decay, time.time() - t0])
                 log_file.flush()
+            if args.preview_every and step % args.preview_every == 0:
+                _save_preview(model, state.ema_params, tables, size,
+                              model_config, args, step)
             if step % args.save_every == 0 or step == args.max_steps:
                 ckpt.save_checkpoint(os.path.join(args.logdir, f"state_{step}"),
                                      jax.device_get(state.ema_params))
