@@ -12,7 +12,8 @@ vjp-based guidance, FFT operators in XLA, and mesh sharding for scale-out.
 
 from . import (brownian, ckpt, config, data, ddpm_sampling, diffusion,  # noqa: F401
                evaluation, gns, guidance, logger, metrics, operators, precond,
-               resample, samplers, sampling_api, schedules, train, utils)
+               profiling, resample, samplers, sampling_api, schedules, train,
+               train_loop, utils)
 from . import models, ops, parallel  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Distribution-metric evaluation CLI: FID / KID between two image folders.
+
+Rounds out the reference's evaluation surface (k_diffusion/evaluation.py,
+used inside its training scripts) as a standalone tool. Feature backbones:
+  inception  — FID InceptionV3 (needs converted weights, see
+               cli/convert_weights + models/inception.py)
+  clip       — transformers Flax CLIP vision tower (local weights dir)
+  pixels     — resized raw pixels (backbone-free smoke metric)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import evaluation
+    from ..data import FolderOfImages
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("real", help="folder of reference images")
+    p.add_argument("fake", help="folder of generated images")
+    p.add_argument("--backbone", default="pixels",
+                   choices=["inception", "clip", "pixels"])
+    p.add_argument("--weights", default=None,
+                   help="backbone weights (orbax dir / .npz / HF dir)")
+    p.add_argument("--size", type=int, default=64,
+                   help="image size for loading (pixels backbone)")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--out", default=None, help="optional JSON output path")
+    args = p.parse_args(argv)
+
+    if args.backbone == "inception":
+        from ..models.inception import make_inception_extractor
+        from .. import ckpt
+        weights = ckpt.load_checkpoint(args.weights)
+        extractor = make_inception_extractor(weights)
+    elif args.backbone == "clip":
+        extractor = evaluation.make_clip_extractor(args.weights)
+    else:
+        @jax.jit
+        def extractor(batch):
+            x = jax.image.resize(batch, (batch.shape[0], 32, 32, 3), "bilinear")
+            return x.reshape(x.shape[0], -1)
+
+    def folder_features(path):
+        ds = FolderOfImages(path, size=args.size)
+        n = len(ds) if args.max_images is None else min(args.max_images, len(ds))
+        feats = []
+        for batch in ds.batches(args.batch_size):
+            feats.append(np.asarray(extractor(jnp.asarray(batch))))
+            if sum(f.shape[0] for f in feats) >= n:
+                break
+        return jnp.asarray(np.concatenate(feats)[:n])
+
+    f_real = folder_features(args.real)
+    f_fake = folder_features(args.fake)
+    out = {
+        "fid": float(evaluation.fid(f_real, f_fake)),
+        "kid": float(evaluation.kid(f_real, f_fake)),
+        "n_real": int(f_real.shape[0]),
+        "n_fake": int(f_fake.shape[0]),
+        "backbone": args.backbone,
+    }
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+    return out
+
+
+if __name__ == "__main__":
+    main()

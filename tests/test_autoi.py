@@ -80,7 +80,7 @@ def test_autoi_matches_dense_oracle(setup):
     # many probes to shrink the Hutchinson variance; convert covariance below
     # the mle threshold so v depends on x (exercises the J_v^T term)
     cfg = guidance.GuidanceConfig(guidance="autoI", x0_cov_type="convert",
-                                  mle_sigma_thres=0.5, num_probes=256,
+                                  mle_sigma_thres=0.5, num_probes=128,
                                   cg_maxiter=400, cg_tol=1e-6)
     sigma = jnp.float32(0.1)
     x = jax.random.normal(jax.random.key(3), (1, SIZE, SIZE, 3)) * 0.1
@@ -111,7 +111,7 @@ def test_autoi_matches_dense_oracle_dct(setup):
     """Same check in the DCT ortho basis."""
     model_apply, params, tables, op, meas = setup
     cfg = guidance.GuidanceConfig(guidance="autoI", x0_cov_type="convert",
-                                  mle_sigma_thres=0.5, num_probes=256,
+                                  mle_sigma_thres=0.5, num_probes=128,
                                   cg_maxiter=400, cg_tol=1e-6,
                                   ortho_tf_type="dct")
     sigma = jnp.float32(0.1)

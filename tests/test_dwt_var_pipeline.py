@@ -63,7 +63,7 @@ def pretrained_env(tmp_path_factory):
         return optax.apply_updates(params, updates), opt_state, loss
 
     key = jax.random.key(1)
-    for i in range(150):
+    for i in range(100):
         key, k_b, k_s = jax.random.split(key, 3)
         params, opt_state, _ = step(params, opt_state, synth(k_b, 16), k_s)
 

@@ -69,7 +69,7 @@ def trained_model():
 
     key = jax.random.key(1)
     losses = []
-    for i in range(300):
+    for i in range(200):
         key, k_b, k_s = jax.random.split(key, 3)
         batch = _synthetic_batch(k_b, 16)
         params, opt_state, loss = step(params, opt_state, batch, k_s)
