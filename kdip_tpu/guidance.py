@@ -368,9 +368,9 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
 
     def type_II(x, sigma, key):
         """ref: condition.py:176-183"""
-        x0_mean, aux = uncond_pred(params, x, sigma)
-        # type II never needs the tmpd vjp (tmpd is a type-I covariance)
-        x0_var, theta0_var = _variances(aux, sigma, None, x.shape)
+        # the vjp is only materialized if the covariance needs it (tmpd)
+        x0_mean, aux, mean_vjp = _moments_and_vjp(x, sigma)
+        x0_var, theta0_var = _variances(aux, sigma, mean_vjp, x.shape)
         svar = _solver_var(x0_var, theta0_var)
         mat = _solve(x0_mean, svar, sigma)
         return x0_mean + ortho_tf.inv(ortho_tf(mat) * svar)
