@@ -271,6 +271,33 @@ def super_resolution_mat(op: SuperResolutionOperator, y, x0_mean, theta0_var,
     return AT_fft(u).real
 
 
+def colorization_mat(op, y, x0_mean, theta0_var, ortho_tf, iso: bool,
+                     cfg: GuidanceConfig):
+    """v solver for A = channel mean (an extension: the reference registers
+    no mat solver for its ColorizationOperator, so Type I/II guidance is
+    unavailable there). A A^T = I/3, so the isotropic solve is closed-form;
+    the ortho-diagonal case runs CG in y-space. Returns A^T u (x-space)."""
+    sigma_s = jnp.clip(op.sigma_s, min=0.001)
+    b = y - op.forward(x0_mean)
+    if iso:
+        u = b / (sigma_s ** 2 + theta0_var / 3.0)
+        return op.transpose(u)  # A^T u = repeat(u)/3, x-space like the others
+    ot, iot = ortho_tf, ortho_tf.inv
+
+    def matvec(u):
+        ATu = jnp.repeat(u, 3, axis=-1) / 3.0
+        Cu = iot(theta0_var * ot(ATu))
+        return sigma_s ** 2 * u + jnp.mean(Cu, axis=-1, keepdims=True)
+
+    theta_bar = jnp.mean(theta0_var)
+
+    def precond(u):
+        return u / (sigma_s ** 2 + theta_bar / 3.0)
+
+    u = _cg(matvec, b, cfg, M=precond)
+    return jnp.repeat(u, 3, axis=-1) / 3.0
+
+
 def mat_solver(op, y, x0_mean, theta0_var, ortho_tf, iso: bool, cfg: GuidanceConfig):
     """Registry dispatch (static on operator type, ref: condition.py:307-314)."""
     name = op.name
@@ -280,6 +307,8 @@ def mat_solver(op, y, x0_mean, theta0_var, ortho_tf, iso: bool, cfg: GuidanceCon
         return deblur_mat(op, y, x0_mean, theta0_var, ortho_tf, iso, cfg)
     if name == "super_resolution":
         return super_resolution_mat(op, y, x0_mean, theta0_var, ortho_tf, iso, cfg)
+    if name == "colorization":
+        return colorization_mat(op, y, x0_mean, theta0_var, ortho_tf, iso, cfg)
     raise NotImplementedError(f"no mat solver for operator '{name}'")
 
 

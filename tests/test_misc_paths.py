@@ -79,6 +79,27 @@ def test_dps_guidance_nonlinear_phase_retrieval():
     assert bool(jnp.isfinite(out).all())
 
 
+def test_colorization_type_I_guidance():
+    """Type-I guidance through the colorization operator (extension beyond
+    the reference, which registers no mat solver for it). Validates the CG
+    branch against the closed-form on an isotropic system."""
+    op = kops.get_operator("colorization", sigma_s=0.05)
+    x0 = jax.random.uniform(jax.random.key(0), (1, 16, 16, 3)) * 2 - 1
+    meas = op.measure(x0, jax.random.key(1))
+    x0_mean = jax.random.uniform(jax.random.key(2), (1, 16, 16, 3)) * 2 - 1
+    from kdip_tpu.guidance import GuidanceConfig, colorization_mat
+    from kdip_tpu.ops.transforms import OrthoTransform
+    cfg = GuidanceConfig(cg_maxiter=200, cg_tol=1e-6)
+    ot = OrthoTransform(None)
+    theta = jnp.float32(0.02)
+    closed = colorization_mat(op, meas.y, x0_mean, theta, ot, True, cfg)
+    # CG with a constant tensor variance must match the closed form
+    theta_t = jnp.full((1, 16, 16, 3), 0.02)
+    via_cg = colorization_mat(op, meas.y, x0_mean, theta_t, ot, False, cfg)
+    np.testing.assert_allclose(np.asarray(via_cg), np.asarray(closed),
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_compute_features_streaming():
     def sample_fn(key, n):
         return jax.random.normal(key, (n, 8))
