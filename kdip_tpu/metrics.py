@@ -44,10 +44,37 @@ def _uniform_filter(x: jnp.ndarray, size: int = 7) -> jnp.ndarray:
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
 
 
+def ssim_f64(a, b, data_range: float = 1.0, win_size: int = 7,
+             k1: float = 0.01, k2: float = 0.03) -> np.ndarray:
+    """Float64 host SSIM (exact skimage equivalence). The fp32 on-device
+    version below can drift ~1e-2 above 1.0 on locally-degenerate windows
+    (catastrophic cancellation in uxx - ux^2); per-image metric reporting
+    uses this path. [B, H, W, C] inputs, returns [B]."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+
+    def filt(x):  # x: [B, H, W, C]
+        v = sliding_window_view(x, (win_size, win_size), axis=(1, 2))
+        return v.mean(axis=(-2, -1))
+
+    NP = win_size ** 2
+    cov_norm = NP / (NP - 1)
+    ux, uy = filt(a), filt(b)
+    vx = cov_norm * (filt(a * a) - ux * ux)
+    vy = cov_norm * (filt(b * b) - uy * uy)
+    vxy = cov_norm * (filt(a * b) - ux * uy)
+    C1, C2 = (k1 * data_range) ** 2, (k2 * data_range) ** 2
+    S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+        (ux ** 2 + uy ** 2 + C1) * (vx + vy + C2))
+    return S.mean(axis=tuple(range(1, S.ndim)))
+
+
 def ssim(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0,
          win_size: int = 7, k1: float = 0.01, k2: float = 0.03) -> jnp.ndarray:
     """Structural similarity, matching skimage defaults (uniform window,
-    channel-averaged, sample covariance normalization). [B, H, W, C] inputs."""
+    channel-averaged, sample covariance normalization). [B, H, W, C] inputs.
+    Jittable fp32 (on-device); for exact reported metrics prefer ssim_f64."""
     nd = 2  # spatial dims
     NP = win_size ** nd
     cov_norm = NP / (NP - 1)
@@ -161,7 +188,7 @@ def compute_metrics(hat_x0, x0, lpips_params: Optional[Dict] = None) -> Dict[str
     matching compute_metrics (sample_condition_openai.py:41-49)."""
     a = to_eval(x0)
     b = to_eval(hat_x0)
-    out = {"psnr": float(psnr(a, b)[0]), "ssim": float(ssim(a, b)[0])}
+    out = {"psnr": float(psnr(a, b)[0]), "ssim": float(ssim_f64(a, b)[0])}
     if lpips_params is not None:
         out["lpips"] = float(lpips_vgg(lpips_params, a, b)[0])
     return out
