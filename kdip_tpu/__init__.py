@@ -10,10 +10,10 @@ the ADM/k-diffusion model families — designed TPU-first: scanned samplers,
 vjp-based guidance, FFT operators in XLA, and mesh sharding for scale-out.
 """
 
-from . import (brownian, ckpt, config, data, ddpm_sampling, diffusion,  # noqa: F401
-               evaluation, gns, guidance, logger, metrics, operators, precond,
-               profiling, resample, samplers, sampling_api, schedules, train,
-               train_loop, utils)
+from . import (autoi, brownian, ckpt, config, data, ddpm_sampling,  # noqa: F401
+               diffusion, evaluation, gns, guidance, logger, metrics,
+               operators, precond, profiling, resample, samplers,
+               sampling_api, schedules, train, train_loop, utils)
 from . import models, ops, parallel  # noqa: F401
 
 __version__ = "0.1.0"
