@@ -390,6 +390,54 @@ def _build_phase_retrieval(oversample: float = 1.0, sigma_s: float = 0.05, **_):
                                   sigma_s=jnp.float32(sigma_s))
 
 
+class NonlinearBlurOperator(struct.PyTreeNode):
+    """Learned nonlinear blur (ref: measurements.py:341-367).
+
+    The reference delegates to the external bkse KernelWizard network (not
+    part of the reference repo); here the blur network is any callable
+    `blur_apply(x01, kernel) -> x01` over [0, 1]-scaled NHWC images plus its
+    random kernel shape — e.g. a converted KernelWizard or any Flax module
+    closure. The [-1,1] <-> [0,1] rescaling and the N(0, 1.2^2) random
+    kernel draw match the reference (measurements.py:362-367).
+    """
+    sigma_s: jnp.ndarray
+    blur_apply: Callable = struct.field(pytree_node=False, default=None)
+    kernel_shape: Tuple[int, ...] = struct.field(pytree_node=False,
+                                                 default=(1, 2, 2, 512))
+
+    @property
+    def name(self):
+        return "nonlinear_blur"
+
+    def forward(self, x, key=None):
+        if key is None:
+            key = jax.random.key(0)
+        random_kernel = jax.random.normal(key, self.kernel_shape) * 1.2
+        x01 = (x + 1.0) / 2.0
+        blurred = self.blur_apply(x01, random_kernel)
+        return jnp.clip(blurred * 2.0 - 1.0, -1, 1)
+
+    def project(self, x, measurement):
+        return x + measurement - self.forward(x)
+
+    def measure(self, x, key):
+        k1, k2 = jax.random.split(key)
+        y = self.forward(x, k1)
+        y = y + self.sigma_s * jax.random.normal(k2, y.shape, y.dtype)
+        return Measurement(y=y)
+
+
+@register_operator("nonlinear_blur")
+def _build_nonlinear_blur(blur_apply=None, kernel_shape=(1, 2, 2, 512),
+                          sigma_s: float = 0.05, **_):
+    assert blur_apply is not None, \
+        "nonlinear_blur needs a blur network callable (the reference loads " \
+        "the external bkse KernelWizard; pass its converted apply fn)"
+    return NonlinearBlurOperator(sigma_s=jnp.float32(sigma_s),
+                                 blur_apply=blur_apply,
+                                 kernel_shape=tuple(kernel_shape))
+
+
 # ---------------------------------------------------------------------------
 # Noise models (ref: measurements.py:374-457)
 # ---------------------------------------------------------------------------
