@@ -35,8 +35,40 @@ def main(argv=None):
                    help="image size for loading (pixels backbone)")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--paired", action="store_true",
+                   help="paired per-image PSNR/SSIM between the two folders "
+                        "(the reference's dps_utils/compute_metric.py) "
+                        "instead of distribution metrics")
+    p.add_argument("--lpips-weights", default=None,
+                   help="converted LPIPS .npz for paired mode")
     p.add_argument("--out", default=None, help="optional JSON output path")
     args = p.parse_args(argv)
+
+    if args.paired:
+        from .. import metrics
+        from ..data import FolderOfImages
+        real = FolderOfImages(args.real, size=args.size)
+        fake = FolderOfImages(args.fake, size=args.size)
+        n = min(len(real), len(fake))
+        if args.max_images:
+            n = min(n, args.max_images)
+        lpips_params = None
+        if args.lpips_weights:
+            lp = np.load(args.lpips_weights, allow_pickle=True)
+            lpips_params = lp["params"].item() if "params" in lp else dict(lp)
+        import jax.numpy as jnp
+        results = []
+        for i in range(n):
+            a = jnp.asarray(real[i][0])[None]
+            b = jnp.asarray(fake[i][0])[None]
+            results.append(metrics.compute_metrics(b, a, lpips_params))
+        out = metrics.calculate_average_metric(results)
+        out["n"] = n
+        print(json.dumps(out))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=2)
+        return out
 
     if args.backbone == "inception":
         from ..models.inception import make_inception_extractor

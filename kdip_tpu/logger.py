@@ -252,6 +252,30 @@ def warn(*args):
 
 
 @contextmanager
+def profile_kv(scopename):
+    """Accumulates wall time under 'wait_<scopename>'
+    (ref: guided_diffusion/logger.py:241-253)."""
+    import time
+    logkey = "wait_" + scopename
+    tstart = time.time()
+    try:
+        yield
+    finally:
+        get_current().name2val[logkey] += time.time() - tstart
+
+
+def profile(n):
+    """Decorator timing a function into 'wait_<n>'
+    (ref: guided_diffusion/logger.py:256-268)."""
+    def decorator_with_name(func):
+        def func_wrapper(*args, **kwargs):
+            with profile_kv(n):
+                return func(*args, **kwargs)
+        return func_wrapper
+    return decorator_with_name
+
+
+@contextmanager
 def scoped_configure(dir=None, format_strs=None):
     prev = Logger.CURRENT
     configure(dir=dir, format_strs=format_strs)
