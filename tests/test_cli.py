@@ -94,6 +94,19 @@ def test_sample_condition_cli_dps(tiny_env):
     assert np.isfinite(avg["psnr"])
 
 
+def test_sample_uncond_cli(tiny_env):
+    from kdip_tpu.cli import sample_uncond
+    base = ["--checkpoint", tiny_env["ckpt"], "--config", tiny_env["config"],
+            "-n", "2", "--steps", "3", "--dtype", "float32"]
+    for sampler, extra in [("heun", []), ("ddim", ["--respacing", "5"]),
+                           ("ancestral", ["--respacing", "5"])]:
+        logdir = str(tiny_env["root"] / f"uncond_{sampler}")
+        out = sample_uncond.main(base + ["--sampler", sampler,
+                                         "--logdir", logdir] + extra)
+        assert out.shape == (2, 32, 32, 3) and np.isfinite(out).all()
+        assert os.path.exists(os.path.join(logdir, "sample_0.png"))
+
+
 def test_analytic_variance_cli(tiny_env):
     from kdip_tpu.cli import analytic_variance
 
