@@ -222,3 +222,33 @@ def test_x8_ensemble_identity_for_equivariant_fn():
         back = tiling.augment_img(tiling.augment_img(x, i), inv)
         np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0,
                                    err_msg=f"mode {i}")
+
+
+def test_fft2c_roundtrip_and_parseval():
+    """Centered orthonormal FFT (fastmri parity helpers)."""
+    from kdip_tpu.ops import fft as offt
+    x = jax.random.normal(jax.random.key(5), (1, 16, 16, 3))
+    z = offt.fft2c(x.astype(jnp.complex64))
+    back = offt.ifft2c(z).real
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(float(jnp.sum(jnp.abs(z) ** 2)),
+                               float(jnp.sum(x ** 2)), rtol=1e-5)
+
+
+def test_tiled_split_x8_local_operator():
+    """mode 4 (split + x8 ensemble) is exact for an isotropic local conv."""
+    k1 = jnp.asarray([[0.0, 0.25, 0.0], [0.25, 0.0, 0.25],
+                      [0.0, 0.25, 0.0]])[..., None, None]
+
+    def apply(x):
+        C = x.shape[-1]
+        k = jnp.tile(k1, (1, 1, 1, C))
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C)
+
+    x = jax.random.normal(jax.random.key(6), (1, 64, 64, 3))
+    full = apply(x)
+    ens = tiling.tiled_inference(apply, x, mode=4, refield=16, min_size=32)
+    # isotropic kernel commutes with the dihedral group; split is exact
+    np.testing.assert_allclose(np.asarray(ens), np.asarray(full), atol=1e-5)
