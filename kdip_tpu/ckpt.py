@@ -129,6 +129,93 @@ def convert_adm_state_dict(state_dict: Mapping[str, Any]) -> Dict:
     return params
 
 
+def convert_kdiff_state_dict(state_dict: Mapping[str, Any],
+                             num_levels: int) -> Dict:
+    """k-diffusion native ImageDenoiserModelV1/V2 state dict -> flax params
+    for kdip_tpu.models.kdiff (ref: k_diffusion/models/image_v2.py:88-158
+    module tree: u_net.d_blocks.{i}.{j}... with ConditionedSequential indices;
+    u_blocks are stored reversed, unet.py `reversed(u_blocks)`).
+
+    num_levels: len(depths) of the model (to un-reverse u_block indices).
+    """
+    params: Dict = {}
+
+    def leaf(mod_path, rest, pname, w):
+        if rest[0] == "main":
+            sub = {"0": ("norm_1", "mapper"), "2": ("conv_1",),
+                   "4": ("norm_2", "mapper"), "6": ("conv_2",)}[rest[1]]
+            tail = rest[2:]  # ('mapper',) already folded for AdaGN
+            if sub[-1] == "mapper":
+                name, val = _convert_tensor("mapper", pname, w)
+                _set(params, mod_path + sub + (name,), val)
+            else:
+                name, val = _convert_tensor("conv", pname, w)
+                _set(params, mod_path + sub + (name,), val)
+        elif rest[0] == "skip":
+            name, val = _convert_tensor("skip", pname, w)
+            _set(params, mod_path + ("skip", name), val)
+        elif rest[0] == "norm_in":
+            name, val = _convert_tensor("mapper", pname, w)
+            _set(params, mod_path + ("norm_in", "mapper", name), val)
+        elif rest[0] in ("qkv_proj", "out_proj"):
+            # 1x1 conv stays a conv in flax (kernel HWIO)
+            name, val = _convert_tensor(rest[0], pname, w)
+            _set(params, mod_path + (rest[0], name), val)
+        else:
+            raise KeyError(f"unmapped kdiff leaf {rest}")
+
+    # classify each (block, j) as res/attn by its children, assign ordinals
+    block_children: Dict = {}
+    for key in state_dict:
+        parts = key.split(".")
+        if parts[0] == "u_net":
+            blk = (parts[1], int(parts[2]))
+            j = int(parts[3])
+            kind = "res" if parts[4] in ("main", "skip") else (
+                "attn" if parts[4] in ("norm_in", "qkv_proj", "out_proj")
+                else "resample")
+            block_children.setdefault(blk, {})[j] = kind
+    ordinal: Dict = {}
+    for blk, js in block_children.items():
+        counters = {"res": 0, "attn": 0}
+        for j in sorted(js):
+            kind = js[j]
+            if kind == "resample":
+                continue
+            ordinal[blk + (j,)] = f"{kind}_{counters[kind]}"
+            counters[kind] += 1
+
+    for key, tensor in state_dict.items():
+        w = _to_np(tensor).astype(np.float32)
+        parts = key.split(".")
+        pname = parts[-1]
+        if parts[0] == "timestep_embed":
+            _set(params, ("timestep_embed", "weight"), w)
+        elif parts[0] == "mapping":
+            mod = {"0": "mapping_0", "2": "mapping_1"}[parts[1]]
+            name, val = _convert_tensor(mod, pname, w)
+            _set(params, (mod, name), val)
+        elif parts[0] == "mapping_cond":
+            name, val = _convert_tensor("mapping_cond", pname, w)
+            _set(params, ("mapping_cond", name), val)
+        elif parts[0] in ("proj_in", "proj_out"):
+            name, val = _convert_tensor(parts[0], pname, w)
+            _set(params, (parts[0], name), val)
+        elif parts[0] == "u_net":
+            if pname == "kernel":  # FIR resample buffers (fixed, not params)
+                continue
+            side, idx, j = parts[1], int(parts[2]), int(parts[3])
+            if side == "d_blocks":
+                mod = f"d_block_{idx}"
+            else:  # u_blocks stored reversed
+                mod = f"u_block_{num_levels - 1 - idx}"
+            layer = ordinal[(side, idx, j)]
+            leaf((mod, layer), tuple(parts[4:-1]), pname, w)
+        else:
+            raise KeyError(f"unmapped kdiff key: {key}")
+    return params
+
+
 def convert_v2_out_cov(state_dict: Mapping[str, Any]) -> Dict:
     """Extracts the 1x1 `out_cov` variance-head conv of OpenAIDenoiserV2
     (ref: k_diffusion/external.py:141) into flax conv params."""
