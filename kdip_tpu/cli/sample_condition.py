@@ -44,7 +44,9 @@ def to_pil_image(arr):
 
 def build_argparser():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="test images per jitted sampler call (requires -n 1 "
+                        "when > 1); the reference asserts batch_size == 1")
     p.add_argument("--checkpoint", type=str,
                    default="../model_zoo/diffusion_ffhq_10m.pt")
     p.add_argument("--config", type=str, default="configs/test_ffhq.json")
@@ -164,11 +166,18 @@ def main(argv=None):
         sigma_max=model_config["sigma_max"],
         sampler="euler" if args.euler else "heun", ode=args.ode)
 
+    if args.batch_size > 1 and args.n != 1:
+        raise SystemExit("--batch-size > 1 requires -n 1 (one sample per "
+                         "image; samples are paired with measurements "
+                         "element-wise along the batch axis)")
+    batch = args.batch_size
+    n_per_call = batch if batch > 1 else args.n
+
     sampler = sampling_api.build_posterior_sampler(
         model_apply, tables, operator, gcfg, scfg, recon_mse=recon_mse,
         v2=args.v2, image_size=size[0],
         channels=model_config.get("input_channels", 3))
-    jitted = jax.jit(lambda p, m, k: sampler(p, m, k, n=args.n))
+    jitted = jax.jit(lambda p, m, k: sampler(p, m, k, n=n_per_call))
 
     lpips_params = None
     if args.lpips_weights:
@@ -185,22 +194,35 @@ def main(argv=None):
         else min(args.max_images, len(test_set))
 
     t_start = time.time()
-    for i in range(n_images):
-        x0 = jnp.asarray(test_set[i][0])[None]
+    for start in range(0, n_images, batch):
+        idxs = list(range(start, min(start + batch, n_images)))
+        x0 = jnp.stack([jnp.asarray(test_set[i][0]) for i in idxs])
+        n_real = x0.shape[0]
+        if n_real < batch:  # pad the final partial batch; reuse the program
+            pad = jnp.repeat(x0[-1:], batch - n_real, axis=0)
+            x0 = jnp.concatenate([x0, pad], axis=0)
         key, k_meas, k_samp = jax.random.split(key, 3)
         measurement = operator.measure(x0, k_meas)
         hat_x0 = jitted(params, measurement, k_samp)
 
-        m = metrics.compute_metrics(hat_x0[:1], x0, lpips_params)
-        print(m, flush=True)
-        metrics_list.append(m)
+        for bi, i in enumerate(idxs):
+            if batch > 1:
+                m = metrics.compute_metrics(hat_x0[bi:bi + 1],
+                                            x0[bi:bi + 1], lpips_params)
+            else:
+                m = metrics.compute_metrics(hat_x0[:1], x0[:1], lpips_params)
+            print(m, flush=True)
+            metrics_list.append(m)
 
-        if args.save_img:
-            to_pil_image(np.asarray(measurement.y[0])).save(
-                os.path.join(args.logdir, f"{args.prefix}_img_{i}_measurement.png"))
-            for j in range(hat_x0.shape[0]):
-                to_pil_image(np.asarray(hat_x0[j])).save(os.path.join(
-                    args.logdir, f"{args.prefix}_img_{i}_hat_x0_sample_{j}.png"))
+            if args.save_img:
+                to_pil_image(np.asarray(measurement.y[bi])).save(
+                    os.path.join(args.logdir,
+                                 f"{args.prefix}_img_{i}_measurement.png"))
+                samples = hat_x0[bi:bi + 1] if batch > 1 else hat_x0
+                for j in range(samples.shape[0]):
+                    to_pil_image(np.asarray(samples[j])).save(os.path.join(
+                        args.logdir,
+                        f"{args.prefix}_img_{i}_hat_x0_sample_{j}.png"))
 
     avg = metrics.calculate_average_metric(metrics_list)
     avg["wall_clock_per_image"] = (time.time() - t_start) / max(1, n_images)

@@ -134,6 +134,9 @@ def main(argv=None):
     log_file = open(log_path, "a", newline="")
     logger = csv.writer(log_file)
     logger.writerow(["step", "loss", "ema_decay", "time"])
+    # TensorBoard scalar curves (ref: train_openai.py:70 TensorBoardLogger)
+    from ..tfevents import EventFileWriter
+    tb = EventFileWriter(os.path.join(args.logdir, "tb"))
 
     key = jax.random.key(args.seed)
     step = 0
@@ -155,6 +158,8 @@ def main(argv=None):
                 print(f"step {step}: loss {loss:.4f} ema {decay:.5f}", flush=True)
                 logger.writerow([step, loss, decay, time.time() - t0])
                 log_file.flush()
+                tb.add_scalars(step, [("train/loss", loss),
+                                      ("train/ema_decay", decay)])
             if args.preview_every and step % args.preview_every == 0:
                 _save_preview(model, state.ema_params, tables, size,
                               model_config, args, step)
@@ -162,6 +167,7 @@ def main(argv=None):
                 ckpt.save_checkpoint(os.path.join(args.logdir, f"state_{step}"),
                                      jax.device_get(state.ema_params))
     log_file.close()
+    tb.close()
     print(f"done: {step} steps in {time.time() - t0:.0f}s")
 
 

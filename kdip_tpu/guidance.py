@@ -141,15 +141,16 @@ def make_openai_v2_uncond(model_apply: Callable, tables: diff.DiffusionTables,
         t_b = jnp.broadcast_to(t, (x.shape[0],))
         model_output, logvar, logvar_ot = model_apply(
             params, x * append_dims(c_in, x.ndim), t_b)
-        x0_mean = model_output * c_out + x
+        x0_mean = model_output * append_dims(c_out, x.ndim) + x
         return x0_mean, {"logvar": logvar, "logvar_ot": logvar_ot}
 
     def x0_var_fn(aux, sigma, x0_mean_vjp=None, x_shape=None):
         c_out, _ = precond.eps_scalings(sigma)
+        c_out2 = append_dims(c_out ** 2, aux["logvar"].ndim)
         x0_var = jnp.where(sigma < cfg.mle_sigma_thres,
-                           jnp.exp(aux["logvar"]) * c_out ** 2, mle_var(sigma))
+                           jnp.exp(aux["logvar"]) * c_out2, mle_var(sigma))
         theta0_var = jnp.where(sigma < cfg.mle_sigma_thres,
-                               jnp.exp(aux["logvar_ot"]) * c_out ** 2, mle_var(sigma))
+                               jnp.exp(aux["logvar_ot"]) * c_out2, mle_var(sigma))
         return x0_var, theta0_var
 
     return uncond_pred, x0_var_fn

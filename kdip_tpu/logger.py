@@ -134,6 +134,32 @@ class CSVOutputFormat(KVWriter):
         self.file.close()
 
 
+class TensorBoardOutputFormat(KVWriter):
+    """Scalar curves viewable in TensorBoard
+    (ref: guided_diffusion/logger.py:150-189 — which requires tensorflow;
+    here via the dependency-free tfevents writer). The recorded step is the
+    kvs' own 'step'/'samples' entry when present, else a running counter."""
+
+    def __init__(self, logdir):
+        from .tfevents import EventFileWriter
+        self.writer = EventFileWriter(logdir)
+        self.step = 0
+
+    def writekvs(self, kvs):
+        step = kvs.get("step", kvs.get("samples", self.step))
+        scalars = []
+        for key, value in sorted(kvs.items()):
+            try:
+                scalars.append((key, float(value)))
+            except (TypeError, ValueError):
+                continue
+        self.writer.add_scalars(int(step), scalars)
+        self.step += 1
+
+    def close(self):
+        self.writer.close()
+
+
 def make_output_format(fmt, ev_dir, log_suffix=""):
     """(ref: guided_diffusion/logger.py:192-208)"""
     os.makedirs(ev_dir, exist_ok=True)
@@ -145,6 +171,8 @@ def make_output_format(fmt, ev_dir, log_suffix=""):
         return JSONOutputFormat(osp.join(ev_dir, f"progress{log_suffix}.json"))
     elif fmt == "csv":
         return CSVOutputFormat(osp.join(ev_dir, f"progress{log_suffix}.csv"))
+    elif fmt == "tensorboard":
+        return TensorBoardOutputFormat(osp.join(ev_dir, f"tb{log_suffix}"))
     else:
         raise ValueError(f"Unknown format specified: {fmt}")
 

@@ -55,75 +55,75 @@ def bicubic_kernel(scale_factor: int) -> np.ndarray:
     return (k / k.sum()).astype(np.float64)
 
 
+_MOTION_EPS = 0.1  # numerical-stability epsilon (ref: motionblur.py:9)
+
+
 def motion_blur_kernel(kernel_size: int = 61, intensity: float = 0.5,
                        seed: Optional[int] = None) -> np.ndarray:
-    """Stochastic motion-blur PSF via a random walk path, rasterized with
-    bilinear splatting and Gaussian-softened.
+    """Stochastic motion-blur PSF: exact port of motionblur.Kernel
+    (ref: motionblur/motionblur.py:52-419).
 
-    Functional equivalent of motionblur.Kernel (ref: motionblur/motionblur.py:
-    52-419): intensity in [0, 1] controls non-linearity/shake of the path
-    (0 = near-straight uniform motion, 1 = highly curved jitter).
+    Random path of beta-distributed step lengths and triangular-jittered
+    headings, center-of-mass centered, randomly rotated, rasterized at 2x
+    supersampling with an anti-aliased line draw, Gaussian-softened and
+    LANCZOS-downscaled. intensity in [0, 1]: 0 = near-linear motion,
+    1 = highly non-linear/convex path.
+
+    With `seed`, the draw sequence matches the reference's under
+    `np.random.seed(seed)` exactly (same distributions in the same order),
+    so per-seed outputs are bit-identical — see tests/test_motionblur.py.
     """
     rng = np.random.RandomState(seed)
-    intensity = float(np.clip(intensity, 0, 1))
-    # path synthesis in the spirit of motionblur.py:_createPath: segment
-    # angles diffuse with variance growing in intensity; lengths are beta
-    # distributed.
-    num_steps = max(kernel_size * 4, 64)
-    max_len = kernel_size * 0.75
-    steps = rng.beta(1.5, 3.0, size=num_steps)
-    steps = steps / steps.sum() * max_len
-    angle = rng.uniform(0, 2 * math.pi)
-    angles = [angle]
-    for _ in range(num_steps - 1):
-        # mean-reverting heading with intensity-scaled jitter (motionblur.py
-        # uses triangular-distributed angle increments scaled by intensity)
-        jitter = rng.triangular(-math.pi, 0, math.pi) * intensity
-        angle = angle + jitter
+    intensity = float(intensity)
+    assert 0 <= intensity <= 1, "intensity must be in [0, 1]"
+    size = (int(kernel_size), int(kernel_size))
+    # supersample 2x for anti-aliasing, downscale at the end (ref :99-106)
+    x2, y2 = 2 * size[0], 2 * size[1]
+    diagonal = (x2 ** 2 + y2 ** 2) ** 0.5
+
+    # -- step lengths (ref _createPath/getSteps, :123-157) --
+    max_path_len = 0.75 * diagonal * (rng.uniform()
+                                      + rng.uniform(0, intensity ** 2))
+    steps = []
+    while sum(steps) < max_path_len:
+        step = rng.beta(1, 30) * (1 - intensity + _MOTION_EPS) * diagonal
+        if step < max_path_len:
+            steps.append(step)
+    num_steps = len(steps)
+
+    # -- headings (ref getAngles, :159-197) --
+    max_angle = rng.uniform(0, intensity * math.pi)
+    jitter = rng.beta(2, 20)
+    angles = [rng.uniform(low=-max_angle, high=max_angle)]
+    while len(angles) < num_steps:
+        angle = rng.triangular(0, intensity * max_angle,
+                               max_angle + _MOTION_EPS)
+        angle *= -np.sign(angles[-1]) if rng.uniform() < jitter \
+            else np.sign(angles[-1])
         angles.append(angle)
-    angles = np.array(angles)
-    dx = np.cumsum(steps * np.cos(angles))
-    dy = np.cumsum(steps * np.sin(angles))
-    xs = np.concatenate([[0.0], dx])
-    ys = np.concatenate([[0.0], dy])
-    # densify the polyline so splatting is continuous
-    dense_x, dense_y = [], []
-    for i in range(len(xs) - 1):
-        n = max(2, int(math.hypot(xs[i + 1] - xs[i], ys[i + 1] - ys[i]) * 4))
-        dense_x.append(np.linspace(xs[i], xs[i + 1], n, endpoint=False))
-        dense_y.append(np.linspace(ys[i], ys[i + 1], n, endpoint=False))
-    px = np.concatenate(dense_x)
-    py = np.concatenate(dense_y)
-    # center path
-    px -= px.mean()
-    py -= py.mean()
-    # bilinear splat onto the grid
-    k = np.zeros((kernel_size, kernel_size))
-    cx = cy = kernel_size / 2
-    gx = np.clip(px + cx, 0, kernel_size - 1 - 1e-6)
-    gy = np.clip(py + cy, 0, kernel_size - 1 - 1e-6)
-    x0, y0 = gx.astype(int), gy.astype(int)
-    fx, fy = gx - x0, gy - y0
-    np.add.at(k, (y0, x0), (1 - fx) * (1 - fy))
-    np.add.at(k, (y0, x0 + 1), fx * (1 - fy))
-    np.add.at(k, (y0 + 1, x0), (1 - fx) * fy)
-    np.add.at(k, (y0 + 1, x0 + 1), fx * fy)
-    # gaussian soften (motionblur.py applies ImageFilter.GaussianBlur)
-    k = gaussian_soften(k, sigma=1.0)
-    s = k.sum()
-    if s <= 0:
-        k = np.zeros((kernel_size, kernel_size))
-        k[kernel_size // 2, kernel_size // 2] = 1.0
-        return k
-    return k / s
 
+    # -- path: cumsum of polar increments, COM-centered, random rotation
+    # (ref :203-230) --
+    increments = np.asarray(steps) * np.exp(1j * np.asarray(angles))
+    path = np.cumsum(increments)
+    path = path - path.sum() / num_steps
+    path = path * np.exp(1j * rng.uniform(0, math.pi))
+    path = path + (x2 + 1j * y2) / 2
+    points = [(p.real, p.imag) for p in path]
 
-def gaussian_soften(k: np.ndarray, sigma: float = 1.0) -> np.ndarray:
-    try:
-        from scipy import ndimage
-        return ndimage.gaussian_filter(k, sigma=sigma)
-    except ImportError:
-        return k
+    # -- rasterize (ref _createKernel, :232-271) --
+    from PIL import Image, ImageDraw, ImageFilter
+    img = Image.new("RGB", (x2, y2))
+    ImageDraw.Draw(img).line(xy=points, width=int(diagonal / 150))
+    img = img.filter(ImageFilter.GaussianBlur(radius=int(diagonal * 0.01)))
+    img = img.resize(size, resample=Image.LANCZOS).convert("L")
+    kernel = np.asarray(img, dtype=np.float32)
+    total = kernel.sum()
+    if total <= 0:  # degenerate draw (e.g. zero-length path): delta kernel
+        kernel = np.zeros(size, np.float32)
+        kernel[size[1] // 2, size[0] // 2] = 1.0
+        return kernel
+    return kernel / total
 
 
 # ---------------------------------------------------------------------------

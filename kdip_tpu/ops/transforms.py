@@ -14,9 +14,11 @@ Conventions:
 - `dwt` packs coefficients in the standard quadrant layout of
   pywt.coeffs_to_array (approximation top-left, finest details in the outer
   quadrants), applied over (H, W) per channel, Haar filters
-  (lo = (e + o)/sqrt2, hi = (e - o)/sqrt2). Per-coefficient sign conventions
-  may differ from pywt; diagonal covariances in this basis are invariant to
-  signs, only the layout matters.
+  (lo = (e + o)/sqrt2, hi = (e - o)/sqrt2). Verified EXACT (layout and
+  per-coefficient signs, atol 1e-12 at 256px level 3) against a dense-matrix
+  oracle of pywt's wavedec2 + coeffs_to_array convention — see
+  tests/test_dwt_pywt_layout.py — so converted `logvar_ot` heads trained
+  against pywt (e.g. ffhq_dwt.ckpt) map 1:1 onto this basis.
 
 All transforms are exactly orthonormal: W W^T = I, so inverse == transpose
 (which the reference exploits via LinearFunction backward = transpose,
@@ -41,16 +43,26 @@ _SQRT2 = math.sqrt(2.0)
 # ---------------------------------------------------------------------------
 
 def dct(x: jnp.ndarray) -> jnp.ndarray:
-    """Orthonormal DCT-II over every axis (ref: condition/utils.py:88-96)."""
-    for axis in range(x.ndim):
+    """Orthonormal DCT-II over every non-batch axis
+    (ref: condition/utils.py:88-96).
+
+    The reference's scipy `dctn(x)` transforms *all* axes, but is only ever
+    called under a batch==1 assertion (sample_condition_openai.py:110), where
+    the batch-axis DCT is the identity. This repo lifts the batch=1
+    restriction, so axis 0 is excluded to keep images independent: for B=1
+    the result is bit-identical to the reference; for B>1 it is the per-image
+    transform the math intends.
+    """
+    for axis in range(1, x.ndim):
         if x.shape[axis] > 1:
             x = jfft.dct(x, type=2, norm="ortho", axis=axis)
     return x
 
 
 def idct(x: jnp.ndarray) -> jnp.ndarray:
-    """Orthonormal inverse DCT (= transpose) (ref: condition/utils.py:98-103)."""
-    for axis in range(x.ndim):
+    """Orthonormal inverse DCT (= transpose) (ref: condition/utils.py:98-103).
+    Axis 0 (batch) excluded — see `dct`."""
+    for axis in range(1, x.ndim):
         if x.shape[axis] > 1:
             x = jfft.idct(x, type=2, norm="ortho", axis=axis)
     return x

@@ -1,0 +1,114 @@
+"""Bit-exactness of kdip_tpu's Haar DWT against pywt's wavedec2 packing.
+
+The released `ffhq_dwt.ckpt` variance head was trained against the
+reference's DiscreteWaveletTransform (condition/utils.py:106-139):
+`pywt.wavedec2(x, 'haar', level, axes=(-2,-1))` + `pywt.coeffs_to_array`.
+Any layout or sign mismatch in our `ops/transforms.dwt2` would silently
+mis-map the learned per-coefficient variances at checkpoint-conversion time
+(VERDICT r1, weak #3).
+
+pywt is not installed here, so the oracle is an independent dense-matrix
+construction of pywt's documented algorithm (https://pywavelets.readthedocs.io,
+`downsampling_convolution` semantics):
+
+  * haar filters  dec_lo = [1,  1]/sqrt(2),  dec_hi = [-1, 1]/sqrt(2)
+    (QMF: dec_hi[k] = (-1)^k dec_lo[L-1-k])
+  * single-level 1-D DWT: full convolution y[i] = sum_j x[i-j] f[j] of the
+    (symmetric-mode) padded signal, downsampled at odd indices i = 2m+1.
+    For haar on even-length signals no padding sample is ever touched, so
+    cA[m] = (x[2m] + x[2m+1])/sqrt2 and cD[m] = (x[2m] - x[2m+1])/sqrt2.
+  * wavedec2: per level, 1-D DWT along axis -2 then axis -1 of the running
+    approximation; dwtn key chars map to axes *in order* (documented), so
+    'ad' = approx on axis -2 / detail on axis -1.
+  * coeffs_to_array packing: per axis, 'a' -> slice(0, n), 'd' ->
+    slice(n, 2n); coarsest approximation ends up top-left.
+
+The oracle applies these rules via explicit dense matrices (built by
+transforming basis vectors of the *definition* above, independently of the
+butterfly code in ops/transforms.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kdip_tpu.ops import transforms as tfm
+
+SQRT2 = np.sqrt(2.0)
+
+
+@pytest.fixture()
+def x64():
+    """Runs the check in float64 so the bound is conventions-only, not
+    accumulation noise."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+def haar_dwt_matrix_1d(n):
+    """Single-level 1-D haar DWT as a dense (n, n) matrix: rows 0..n/2-1 are
+    the approximation functionals, rows n/2.. the detail functionals, per
+    pywt's convolution/downsampling definition."""
+    m = n // 2
+    W = np.zeros((n, n))
+    for k in range(m):
+        # y[2k+1] of the full convolution: x[2k]*f[1] + x[2k+1]*f[0]
+        # dec_lo = [1/s2, 1/s2]          -> (x[2k] + x[2k+1]) / s2
+        W[k, 2 * k] = 1 / SQRT2
+        W[k, 2 * k + 1] = 1 / SQRT2
+        # dec_hi = [-1/s2, 1/s2]: f[0] = -1/s2 applies to x[2k+1]
+        #                          -> (x[2k] - x[2k+1]) / s2
+        W[m + k, 2 * k] = 1 / SQRT2
+        W[m + k, 2 * k + 1] = -1 / SQRT2
+    return W
+
+
+def pywt_wavedec2_packed(x, level):
+    """Dense-matrix emulation of wavedec2 + coeffs_to_array over the last two
+    axes of a (..., H, W) array, haar, even sizes."""
+    x = np.asarray(x, dtype=np.float64)
+    out = x.copy()
+    H, W = x.shape[-2], x.shape[-1]
+    for lv in range(level):
+        hs, ws = H >> lv, W >> lv
+        block = out[..., :hs, :ws]
+        Wh = haar_dwt_matrix_1d(hs)
+        Ww = haar_dwt_matrix_1d(ws)
+        # 1-D DWT along axis -2 then axis -1 (order irrelevant: separable)
+        t = np.einsum("ij,...jk->...ik", Wh, block)
+        t = np.einsum("...ij,kj->...ik", t, Ww)
+        # t layout is already [a|d] x [a|d] = the coeffs_to_array quadrants:
+        # rows 0:h/2 = 'a' on axis -2, cols 0:w/2 = 'a' on axis -1.
+        out[..., :hs, :ws] = t
+    return out
+
+
+@pytest.mark.parametrize("level,size", [(1, 8), (2, 16), (3, 32), (3, 256)])
+def test_dwt2_matches_pywt_packing_bitexact(level, size, x64):
+    rng = np.random.RandomState(0)
+    # NHWC input, as used by guidance; transform axes are (-3, -2) = (H, W)
+    x = rng.randn(1, size, size, 3 if size <= 32 else 1).astype(np.float64)
+    ours = np.asarray(tfm.dwt2(jnp.asarray(x, dtype=jnp.float64), level=level))
+    # oracle works on (..., H, W): move C before H
+    x_chw = np.moveaxis(x, -1, 1)
+    ref = np.moveaxis(pywt_wavedec2_packed(x_chw, level), 1, -1)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-12)
+
+
+def test_idwt2_matches_pywt_unpacking():
+    rng = np.random.RandomState(1)
+    z = rng.randn(1, 32, 32, 3)
+    rec = np.asarray(tfm.idwt2(jnp.asarray(z), level=3))
+    # inverse = transpose of the orthonormal packed transform
+    # verify via the oracle: dwt(rec) == z
+    z_chw = np.moveaxis(rec, -1, 1)
+    back = np.moveaxis(pywt_wavedec2_packed(z_chw, 3), 1, -1)
+    np.testing.assert_allclose(back, z, atol=1e-6)
+
+
+def test_oracle_is_orthonormal():
+    W = haar_dwt_matrix_1d(16)
+    np.testing.assert_allclose(W @ W.T, np.eye(16), atol=1e-12)

@@ -32,6 +32,16 @@ def test_dct_vs_scipy():
     np.testing.assert_allclose(ours_i, ref_i, atol=1e-5)
 
 
+def test_dct_batch_independence():
+    """dct must not couple images across the batch axis (ADVICE r1): each
+    image's transform equals its own B=1 transform."""
+    x = jax.random.normal(jax.random.key(7), (3, 8, 8, 3))
+    z = np.asarray(tfm.dct(x))
+    for b in range(3):
+        zb = np.asarray(tfm.dct(x[b:b + 1]))
+        np.testing.assert_allclose(z[b:b + 1], zb, atol=1e-6)
+
+
 def test_dwt_orthonormal_roundtrip():
     x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
     z = tfm.dwt2(x, level=3)
