@@ -129,6 +129,68 @@ def convert_adm_state_dict(state_dict: Mapping[str, Any]) -> Dict:
     return params
 
 
+def convert_classifier_state_dict(state_dict: Mapping[str, Any],
+                                  pool: str = "attention") -> Dict:
+    """PyTorch guided-diffusion `EncoderUNetModel` state dict (the published
+    classifier checkpoints, ref: guided_diffusion/unet.py:688-899) ->
+    `kdip_tpu.models.adm.EncoderADMUNet` flax params."""
+    params: Dict = {}
+    # `out` Sequential indices per pool (ref: unet.py:828-860)
+    out_map = {
+        "adaptive": {"0": ("out_norm", "GroupNorm_0"), "3": ("out_proj",)},
+        "attention": {"0": ("out_norm", "GroupNorm_0"), "2": ("out_pool",)},
+        "spatial": {"0": ("out_fc1",), "2": ("out_fc2",)},
+        "spatial_v2": {"0": ("out_fc1",), "1": ("out_norm", "GroupNorm_0"),
+                       "3": ("out_fc2",)},
+    }[pool]
+    for key, tensor in state_dict.items():
+        w = _to_np(tensor).astype(np.float32)
+        parts = key.split(".")
+        pname = parts[-1]
+        body = parts[:-1]
+        if body[0] == "time_embed":
+            mod = {"0": "time_embed_1", "2": "time_embed_2"}[body[1]]
+            name, val = _convert_tensor(mod, pname, w)
+            _set(params, (mod, name), val)
+            continue
+        if body[0] == "out":
+            dst = out_map[body[1]]
+            if dst[-1] == "out_pool":
+                # AttentionPool2d (ref: unet.py:22-63)
+                if pname == "positional_embedding":
+                    # ref stores [C, T+1]; ours is [T+1, C]
+                    _set(params, ("out_pool", "positional_embedding"), w.T)
+                else:
+                    sub = body[2]  # qkv_proj / c_proj (1x1 conv1d -> Dense)
+                    name, val = _convert_tensor(sub, pname, w)
+                    _set(params, ("out_pool", sub, name), val)
+            else:
+                name, val = _convert_tensor(dst[-1], pname, w)
+                _set(params, dst + (name,), val)
+            continue
+        if body[0] in ("input_blocks", "middle_block"):
+            if body[0] == "middle_block":
+                mod = f"middle_block_{body[1]}"
+                rest = tuple(body[2:])
+            else:
+                mod = f"input_blocks_{body[1]}_{body[2]}"
+                rest = tuple(body[3:])
+            if rest == ():
+                name, val = _convert_tensor(mod, pname, w)
+                _set(params, (mod, name), val)
+                continue
+            for src, dst in _RESBLOCK_MAP.items():
+                if rest == src:
+                    name, val = _convert_tensor(mod, pname, w)
+                    _set(params, (mod,) + dst + (name,), val)
+                    break
+            else:
+                raise KeyError(f"unmapped classifier key: {key}")
+            continue
+        raise KeyError(f"unmapped classifier key: {key}")
+    return params
+
+
 def convert_kdiff_state_dict(state_dict: Mapping[str, Any],
                              num_levels: int) -> Dict:
     """k-diffusion native ImageDenoiserModelV1/V2 state dict -> flax params

@@ -20,8 +20,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import math
+
 from .layers import (AttentionBlock, Downsample, GroupNorm32, ResBlock,
-                     Upsample, conv3x3, timestep_embedding)
+                     Upsample, conv1x1, conv3x3, timestep_embedding)
 
 
 class ADMUNet(nn.Module):
@@ -160,6 +162,206 @@ class ADMUNet(nn.Module):
         if return_feature:
             return out, h
         return out
+
+
+class AttentionPool2d(nn.Module):
+    """CLIP-style attention pooling (ref: guided_diffusion/unet.py:22-63).
+
+    Tokens-last layout: the mean token is prepended, a learned positional
+    embedding added, one multi-head attention pass run (new head order, as the
+    reference's QKVAttention), and the mean-token output projected.
+    """
+    embed_dim: int
+    num_head_channels: int
+    output_dim: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        assert C == self.embed_dim
+        T = H * W
+        tokens = x.reshape(B, T, C)
+        tokens = jnp.concatenate([tokens.mean(axis=1, keepdims=True), tokens],
+                                 axis=1)  # [B, T+1, C]
+        # ref stores [C, T+1]; conversion transposes (ckpt.py)
+        pos = self.param("positional_embedding",
+                         lambda k: jax.random.normal(k, (T + 1, C)) / C ** 0.5)
+        tokens = tokens + pos[None].astype(tokens.dtype)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="qkv_proj")(tokens)
+        heads = C // self.num_head_channels
+        ch = C // heads
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T + 1, heads, ch)
+        k = k.reshape(B, T + 1, heads, ch)
+        v = v.reshape(B, T + 1, heads, ch)
+        scale = 1 / math.sqrt(math.sqrt(ch))
+        logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale,
+                            preferred_element_type=jnp.float32)
+        weights = jax.nn.softmax(logits.astype(jnp.float32),
+                                 axis=-1).astype(v.dtype)
+        a = jnp.einsum("bhts,bshc->bthc", weights, v).reshape(B, T + 1, C)
+        out = nn.Dense(self.output_dim or C, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="c_proj")(a)
+        return out[:, 0]
+
+
+class EncoderADMUNet(nn.Module):
+    """The half-UNet classifier (ref: guided_diffusion/unet.py:688-899
+    EncoderUNetModel): encoder + middle block of the ADM UNet with a pooling
+    head ('adaptive' | 'attention' | 'spatial' | 'spatial_v2'). Drives the
+    classifier-guidance hooks `condition_mean`/`condition_score`
+    (gaussian_diffusion.py:356-393; ours in ddpm_sampling.py)."""
+    image_size: int = 64
+    in_channels: int = 3
+    model_channels: int = 128
+    out_channels: int = 1000
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (2, 4, 8)
+    dropout: float = 0.0
+    channel_mult: Tuple[float, ...] = (1, 2, 3, 4)
+    conv_resample: bool = True
+    num_heads: int = 1
+    num_head_channels: int = 64
+    use_scale_shift_norm: bool = True
+    resblock_updown: bool = True
+    use_new_attention_order: bool = False
+    pool: str = "attention"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        ch_mult = self.channel_mult
+        mc = self.model_channels
+        time_embed_dim = mc * 4
+        self.time_embed_1 = nn.Dense(time_embed_dim, dtype=self.dtype,
+                                     param_dtype=jnp.float32)
+        self.time_embed_2 = nn.Dense(time_embed_dim, dtype=self.dtype,
+                                     param_dtype=jnp.float32)
+
+        def res(ch, out_ch=None, down=False):
+            return ResBlock(channels=ch, emb_channels=time_embed_dim,
+                            dropout=self.dropout, out_channels=out_ch,
+                            use_scale_shift_norm=self.use_scale_shift_norm,
+                            down=down, dtype=self.dtype)
+
+        def attn(ch):
+            return AttentionBlock(channels=ch, num_heads=self.num_heads,
+                                  num_head_channels=self.num_head_channels,
+                                  use_new_attention_order=self.use_new_attention_order,
+                                  dtype=self.dtype)
+
+        # encoder, same layer-list construction as the full UNet
+        # (ref: unet.py:743-800)
+        ch = int(ch_mult[0] * mc)
+        input_blocks = [[conv3x3(ch, self.dtype)]]
+        ds = 1
+        feature_size = ch
+        for level, mult in enumerate(ch_mult):
+            for _ in range(self.num_res_blocks):
+                layers = [res(ch, int(mult * mc))]
+                ch = int(mult * mc)
+                if ds in self.attention_resolutions:
+                    layers.append(attn(ch))
+                input_blocks.append(layers)
+                feature_size += ch
+            if level != len(ch_mult) - 1:
+                if self.resblock_updown:
+                    input_blocks.append([res(ch, ch, down=True)])
+                else:
+                    input_blocks.append([Downsample(ch, self.conv_resample,
+                                                    out_channels=ch,
+                                                    dtype=self.dtype)])
+                ds *= 2
+                feature_size += ch
+        self.input_blocks = input_blocks
+        self.middle_block = [res(ch), attn(ch), res(ch)]
+        feature_size += ch
+        self._ds = ds
+        self._ch = ch
+
+        if self.pool == "adaptive":
+            self.out_norm = GroupNorm32()
+            self.out_proj = conv1x1(self.out_channels, self.dtype,
+                                    zero_init=True)
+        elif self.pool == "attention":
+            assert self.num_head_channels != -1
+            self.out_norm = GroupNorm32()
+            self.out_pool = AttentionPool2d(embed_dim=ch,
+                                            num_head_channels=self.num_head_channels,
+                                            output_dim=self.out_channels,
+                                            dtype=self.dtype)
+        elif self.pool in ("spatial", "spatial_v2"):
+            self.out_fc1 = nn.Dense(2048, dtype=self.dtype,
+                                    param_dtype=jnp.float32)
+            if self.pool == "spatial_v2":
+                self.out_norm = GroupNorm32()
+            self.out_fc2 = nn.Dense(self.out_channels, dtype=self.dtype,
+                                    param_dtype=jnp.float32)
+        else:
+            raise NotImplementedError(f"Unexpected {self.pool} pooling")
+
+    def _apply_layers(self, layers, h, emb, deterministic):
+        for layer in layers:
+            if isinstance(layer, ResBlock):
+                h = layer(h, emb, deterministic=deterministic)
+            else:
+                h = layer(h)
+        return h
+
+    def __call__(self, x, timesteps, deterministic: bool = True):
+        """x: [B, H, W, C]; timesteps: [B]. Returns [B, out_channels] logits
+        (ref: unet.py:880-899)."""
+        emb = timestep_embedding(timesteps, self.model_channels,
+                                 dtype=self.dtype)
+        emb = self.time_embed_2(nn.silu(self.time_embed_1(emb)))
+
+        h = x.astype(self.dtype)
+        results = []
+        for layers in self.input_blocks:
+            h = self._apply_layers(layers, h, emb, deterministic)
+            if self.pool.startswith("spatial"):
+                results.append(h.astype(x.dtype).mean(axis=(1, 2)))
+        h = self._apply_layers(self.middle_block, h, emb, deterministic)
+        if self.pool.startswith("spatial"):
+            results.append(h.astype(x.dtype).mean(axis=(1, 2)))
+            h = jnp.concatenate(results, axis=-1)
+            h = self.out_fc1(h)
+            if self.pool == "spatial_v2":
+                h = nn.silu(self.out_norm(h))
+            else:
+                h = jax.nn.relu(h)
+            return self.out_fc2(h).astype(x.dtype)
+        h = h.astype(x.dtype)
+        h = nn.silu(self.out_norm(h))
+        if self.pool == "adaptive":
+            h = h.mean(axis=(1, 2), keepdims=True)
+            h = self.out_proj(h)
+            return h.reshape(h.shape[0], -1)
+        return self.out_pool(h).astype(x.dtype)
+
+
+def create_classifier(image_size: int = 64, classifier_use_fp16: bool = False,
+                      classifier_width: int = 128, classifier_depth: int = 2,
+                      classifier_attention_resolutions: str = "32,16,8",
+                      classifier_use_scale_shift_norm: bool = True,
+                      classifier_resblock_updown: bool = True,
+                      classifier_pool: str = "attention",
+                      out_channels: int = 1000) -> EncoderADMUNet:
+    """Flag-compatible classifier factory
+    (ref: guided_diffusion/script_util.py:27-41, 228-267)."""
+    channel_mult = {512: (0.5, 1, 1, 2, 2, 4, 4), 256: (1, 1, 2, 2, 4, 4),
+                    128: (1, 1, 2, 3, 4), 64: (1, 2, 3, 4)}[image_size]
+    attention_ds = tuple(image_size // int(r)
+                         for r in classifier_attention_resolutions.split(","))
+    return EncoderADMUNet(
+        image_size=image_size, in_channels=3, model_channels=classifier_width,
+        out_channels=out_channels, num_res_blocks=classifier_depth,
+        attention_resolutions=attention_ds, channel_mult=channel_mult,
+        num_head_channels=64,
+        use_scale_shift_norm=classifier_use_scale_shift_norm,
+        resblock_updown=classifier_resblock_updown, pool=classifier_pool,
+        dtype=jnp.bfloat16 if classifier_use_fp16 else jnp.float32)
 
 
 class SuperResADMUNet(nn.Module):

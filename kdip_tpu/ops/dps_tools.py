@@ -1,0 +1,208 @@
+"""DPS auxiliary tooling: bbox/mask generation, patch extraction, image
+normalization, and the fastMRI centered-FFT helper surface.
+
+Equivalent of `condition/dps_utils/tools.py` (bbox/mask/patch utilities from
+the generative-inpainting lineage, ref: tools.py:56-228, 10-52) and
+`condition/dps_utils/fastmri_utils.py` (complex-as-channel centered FFTs,
+ref: fastmri_utils.py:16-200) — TPU-native: explicit JAX PRNG keys instead of
+global numpy RNG, NHWC masks, jnp.fft for the shifts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Image normalization helpers (ref: tools.py:10-52, 237-252)
+# ---------------------------------------------------------------------------
+
+
+def clear(x) -> np.ndarray:
+    """Device array -> [0,1] numpy image (ref: tools.py:249-252)."""
+    return normalize_np(np.asarray(x).squeeze())
+
+
+def clear_color(x) -> np.ndarray:
+    """Device NHWC/CHW array -> normalized HWC numpy (ref: tools.py:244-247)."""
+    x = np.asarray(x).squeeze()
+    if x.ndim == 3 and x.shape[0] in (1, 3):  # CHW -> HWC
+        x = np.transpose(x, (1, 2, 0))
+    return normalize_np(x)
+
+
+def normalize_np(img: np.ndarray) -> np.ndarray:
+    """Min-max normalize to [0, 1] (ref: tools.py:20-25)."""
+    img = img - img.min()
+    rng = img.max()
+    return img / rng if rng > 0 else img
+
+
+# ---------------------------------------------------------------------------
+# bbox / mask generation (ref: tools.py:106-228)
+# ---------------------------------------------------------------------------
+
+
+def random_bbox(key, image_shape: Tuple[int, int], mask_shape: Tuple[int, int],
+                margin: Tuple[int, int] = (0, 0), batch_size: int = 1,
+                mask_batch_same: bool = True) -> np.ndarray:
+    """Random (top, left, height, width) boxes (ref: tools.py:106-133).
+
+    Returns int array [B, 4]."""
+    ih, iw = image_shape
+    h, w = mask_shape
+    mh, mw = margin
+    maxt, maxl = ih - mh - h, iw - mw - w
+    n = 1 if mask_batch_same else batch_size
+    kt, kl = jax.random.split(key)
+    ts = jax.random.randint(kt, (n,), mh, maxt)
+    ls = jax.random.randint(kl, (n,), mw, maxl)
+    boxes = np.stack([np.asarray(ts), np.asarray(ls),
+                      np.full(n, h), np.full(n, w)], axis=1)
+    if mask_batch_same:
+        boxes = np.repeat(boxes, batch_size, axis=0)
+    return boxes
+
+
+def bbox2mask(key, bboxes: np.ndarray, height: int, width: int,
+              max_delta_h: int = 0, max_delta_w: int = 0) -> jnp.ndarray:
+    """Boxes -> [B, H, W, 1] {0,1} masks with random inward jitter
+    (ref: tools.py:144-152). 1 inside the box."""
+    bboxes = np.asarray(bboxes)
+    masks = []
+    for i, (t, l, h, w) in enumerate(bboxes):
+        ki = jax.random.fold_in(key, i)
+        kh, kw = jax.random.split(ki)
+        dh = int(jax.random.randint(kh, (), 0, max_delta_h // 2 + 1))
+        dw = int(jax.random.randint(kw, (), 0, max_delta_w // 2 + 1))
+        m = np.zeros((height, width, 1), np.float32)
+        m[t + dh:t + h - dh, l + dw:l + w - dw] = 1.0
+        masks.append(m)
+    return jnp.asarray(np.stack(masks))
+
+
+def local_patch(x: jnp.ndarray, bbox_list) -> jnp.ndarray:
+    """Crops each image's box (ref: tools.py:165-171). x: [B, H, W, C];
+    all boxes must share (h, w)."""
+    patches = [x[i, t:t + h, l:l + w] for i, (t, l, h, w)
+               in enumerate(np.asarray(bbox_list))]
+    return jnp.stack(patches)
+
+
+def mask_image(key, x: jnp.ndarray, bboxes, image_shape: Tuple[int, int],
+               max_delta_shape: Tuple[int, int] = (0, 0),
+               mask_type: str = "hole", mosaic_unit_size: int = 8):
+    """Applies a bbox mask: 'hole' zeroes the box, 'mosaic' pixelates it
+    (ref: tools.py:174-192). x: [B, H, W, C]. Returns (result, mask)."""
+    height, width = image_shape
+    mask = bbox2mask(key, bboxes, height, width, *max_delta_shape)
+    if mask_type == "hole":
+        return x * (1.0 - mask), mask
+    if mask_type == "mosaic":
+        B, H, W, C = x.shape
+        small = jax.image.resize(
+            x, (B, H // mosaic_unit_size, W // mosaic_unit_size, C), "nearest")
+        up = jax.image.resize(small, (B, height, width, C), "nearest")
+        return up * mask + x * (1.0 - mask), mask
+    raise NotImplementedError("Not implemented mask type.")
+
+
+def spatial_discounting_mask(mask_shape: Tuple[int, int],
+                             gamma: float = 0.9,
+                             discounted: bool = True) -> jnp.ndarray:
+    """Distance-discounted loss weighting inside a mask, Yu et al. 2018
+    (ref: tools.py:195-226). Returns [1, h, w, 1]."""
+    h, w = mask_shape
+    if not discounted:
+        return jnp.ones((1, h, w, 1), jnp.float32)
+    i = np.arange(h)[:, None]
+    j = np.arange(w)[None, :]
+    vals = np.maximum(gamma ** np.minimum(i, h - i),
+                      gamma ** np.minimum(j, w - j))
+    return jnp.asarray(vals[None, :, :, None].astype(np.float32))
+
+
+def same_padding_amounts(in_size: int, ksize: int, stride: int,
+                         rate: int) -> Tuple[int, int]:
+    out = (in_size + stride - 1) // stride
+    eff_k = (ksize - 1) * rate + 1
+    pad = max(0, (out - 1) * stride + eff_k - in_size)
+    return pad // 2, pad - pad // 2
+
+
+def extract_image_patches(images: jnp.ndarray, ksizes, strides, rates,
+                          padding: str = "same") -> jnp.ndarray:
+    """TF-style patch extraction (ref: tools.py:56-103, which uses unfold).
+
+    images: [B, H, W, C]. Returns [B, nH, nW, ksize_h * ksize_w * C] with
+    the patch dimension ordered (kh, kw, c) — the NHWC-native analogue of
+    the reference's torch.nn.Unfold output.
+    """
+    kh, kw = ksizes
+    sh, sw = strides
+    rh, rw = rates
+    if padding == "same":
+        ph = same_padding_amounts(images.shape[1], kh, sh, rh)
+        pw = same_padding_amounts(images.shape[2], kw, sw, rw)
+    elif padding == "valid":
+        ph = pw = (0, 0)
+    else:
+        raise NotImplementedError(f"padding {padding}")
+    patches = jax.lax.conv_general_dilated_patches(
+        images, (kh, kw), (sh, sw), (ph, pw), rhs_dilation=(rh, rw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # conv_general_dilated_patches emits (c, kh, kw) channel order; reorder
+    # to (kh, kw, c)
+    B, nH, nW, _ = patches.shape
+    C = images.shape[-1]
+    patches = patches.reshape(B, nH, nW, C, kh * kw)
+    patches = jnp.moveaxis(patches, 3, 4).reshape(B, nH, nW, kh * kw * C)
+    return patches
+
+
+# ---------------------------------------------------------------------------
+# fastMRI centered FFTs, complex-as-last-dim-2 representation
+# (ref: fastmri_utils.py:16-200)
+# ---------------------------------------------------------------------------
+
+
+def _to_complex(x: jnp.ndarray) -> jnp.ndarray:
+    assert x.shape[-1] == 2, "expects (..., 2) real/imag layout"
+    return jax.lax.complex(x[..., 0], x[..., 1])
+
+
+def _from_complex(z: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([z.real, z.imag], axis=-1)
+
+
+def fft2c(data: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
+    """Centered 2D FFT over the two dims before the complex dim
+    (ref: fastmri_utils.py:67-90 fft2c_new)."""
+    z = jnp.fft.ifftshift(_to_complex(data), axes=(-2, -1))
+    z = jnp.fft.fft2(z, norm=norm)
+    return _from_complex(jnp.fft.fftshift(z, axes=(-2, -1)))
+
+
+def ifft2c(data: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
+    """(ref: fastmri_utils.py:92-118 ifft2c_new)"""
+    z = jnp.fft.ifftshift(_to_complex(data), axes=(-2, -1))
+    z = jnp.fft.ifft2(z, norm=norm)
+    return _from_complex(jnp.fft.fftshift(z, axes=(-2, -1)))
+
+
+def fftshift(x: jnp.ndarray, axes=None) -> jnp.ndarray:
+    """(ref: fastmri_utils.py:163-183)"""
+    return jnp.fft.fftshift(x, axes=axes)
+
+
+def ifftshift(x: jnp.ndarray, axes=None) -> jnp.ndarray:
+    """(ref: fastmri_utils.py:186-200)"""
+    return jnp.fft.ifftshift(x, axes=axes)
+
+
+def roll(x: jnp.ndarray, shift, axes) -> jnp.ndarray:
+    """(ref: fastmri_utils.py:140-160)"""
+    return jnp.roll(x, shift, axes)

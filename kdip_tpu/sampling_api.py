@@ -36,6 +36,13 @@ class SamplerConfig:
     s_tmin: float = 0.05
     s_tmax: float = 50.0
     s_noise: float = 1.003
+    # Per-sample lax.map over the batch inside each guided NFE. On v5e the
+    # batched 256px UNet vjp picks worse conv layouts than batch-1 (B=4
+    # costs 26.0 ms/sample batched vs 12.2 ms/sample mapped — see
+    # scripts/profile_vjp_batch.py results in RESULTS.md), so mapping is the
+    # faster layout for multi-sample runs. Only applies when the measurement
+    # batch is 1 (samples share one measurement).
+    per_sample_map: bool = True
 
 
 def build_posterior_sampler(model_apply: Callable, tables: diff.DiffusionTables,
@@ -66,6 +73,13 @@ def build_posterior_sampler(model_apply: Callable, tables: diff.DiffusionTables,
         denoise = gd.make_condition_denoiser(uncond, var_fn, operator,
                                              measurement, guidance_cfg,
                                              params=params, v2=v2)
+        if (sampler_cfg.per_sample_map and n > 1
+                and measurement.y.shape[0] == 1):
+            inner = denoise
+
+            def denoise(x, sigma, key=None):  # noqa: F811
+                return jax.lax.map(lambda xi: inner(xi[None], sigma, key)[0],
+                                   x)
         k_init, k_samp = jax.random.split(key)
         x = jax.random.normal(k_init, (n, image_size, image_size, channels)
                               ) * sampler_cfg.sigma_max

@@ -60,7 +60,8 @@ class TrainLoop:
                  schedule_sampler: Optional[ScheduleSampler] = None,
                  weight_decay: float = 0.0, lr_anneal_steps: int = 0,
                  loss_type: str = "mse", learn_sigma: bool = True,
-                 resume: bool = True, mesh=None, seed: int = 0):
+                 resume: bool = True, mesh=None, seed: int = 0,
+                 measure_gns: bool = False):
         self.model_fn = model_fn
         self.tables = tables
         self.data = data  # iterator of [B, H, W, C] numpy batches
@@ -94,8 +95,21 @@ class TrainLoop:
         if resume:
             self._maybe_resume()
 
+        # gradient noise scale (ref: k_diffusion/gns.py via DDP comm hook;
+        # here the microbatch gradients ARE the small-batch statistics)
+        self.gns = None
+        if measure_gns:
+            if self.microbatch >= self.batch_size:
+                raise ValueError("measure_gns needs microbatch < batch_size "
+                                 "(two batch sizes to contrast)")
+            from .gns import GradientNoiseScale
+            self.gns = GradientNoiseScale()
+
         self._micro_grad = jax.jit(self._micro_grad_fn)
         self._apply_update = jax.jit(self._apply_update_fn)
+        self._sq_norm = jax.jit(lambda tree: sum(
+            jnp.sum(l.astype(jnp.float32) ** 2)
+            for l in jax.tree.leaves(tree)))
 
     # lr annealing (ref: train_util.py:214-220)
     def _lr_schedule(self, step):
@@ -142,6 +156,7 @@ class TrainLoop:
         (ref: train_util.py:180-230 forward_backward + optimize)."""
         total_grads = None
         n_micro = 0
+        sq_small_sum = 0.0
         for i in range(0, batch.shape[0], self.microbatch):
             micro = jnp.asarray(batch[i:i + self.microbatch])
             t, weights = self.schedule_sampler.sample(micro.shape[0], self.rng)
@@ -155,11 +170,18 @@ class TrainLoop:
             total_grads = grads if total_grads is None else jax.tree.map(
                 jnp.add, total_grads, grads)
             n_micro += 1
+            if self.gns is not None:
+                sq_small_sum += float(self._sq_norm(grads))
             logger.logkv_mean("loss", float(loss))
             if "vb" in terms:
                 logger.logkv_mean("vb", float(jnp.mean(terms["vb"])))
             logger.logkv_mean("mse", float(jnp.mean(terms["mse"])))
         grads = jax.tree.map(lambda g: g / n_micro, total_grads)
+        if self.gns is not None and n_micro > 1:
+            gns_val = self.gns.update(sq_small_sum / n_micro,
+                                      float(self._sq_norm(grads)),
+                                      self.microbatch, self.batch_size)
+            logger.logkv("gns", gns_val)
         self.params, self.opt_state, self.ema_params = self._apply_update(
             self.params, self.opt_state, grads, self.ema_params)
         self.step += 1

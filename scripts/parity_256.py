@@ -1,0 +1,268 @@
+#!/usr/bin/env python
+"""Production-scale (256 px, full FFHQ 93.6M-param architecture) parity sweep
+vs the torch reference (VERDICT r1 next #3).
+
+For each operator x guidance config, runs a few-step deterministic Euler ODE
+trajectory through BOTH stacks from the same x_init with shared converted
+random weights and records max|delta| / PSNR-between-outputs, plus a CG
+iteration-budget study (cg_maxiter 100 vs 1000, the reference's setting) at
+the smallest sigma. Writes RESULTS_256.json at the repo root.
+
+Run (CPU, slow — hours for the full matrix):
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python scripts/parity_256.py
+Subset: --operators inpainting --configs I:convert dps
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+import refshim
+
+refshim.install()
+
+import numpy as np  # noqa: E402
+import torch  # noqa: E402
+
+torch.manual_seed(0)
+torch.set_num_threads(os.cpu_count() or 1)
+
+SIZE = 256
+KERNELS = "/root/reference/condition/kernels"
+
+CONFIGS = {
+    "I:convert": dict(guidance="I", cov="convert"),
+    "I:analytic": dict(guidance="I", cov="analytic"),
+    "I:tmpd": dict(guidance="I", cov="tmpd"),
+    "II:convert": dict(guidance="II", cov="convert"),
+    "dps": dict(guidance="dps", cov="dps", zeta=0.5),
+    "pgdm": dict(guidance="pgdm", cov="pgdm"),
+    "diffpir": dict(guidance="diffpir", cov="diffpir", lambda_=10.0),
+}
+
+
+def build_models():
+    from guided_diffusion.script_util import (create_model_and_diffusion,
+                                              model_and_diffusion_defaults)
+
+    from kdip_tpu import ckpt, diffusion
+    from kdip_tpu.models import adm
+
+    flags = model_and_diffusion_defaults()
+    flags.update(dict(image_size=SIZE, num_channels=128, num_res_blocks=1,
+                      attention_resolutions="16", dropout=0.0,
+                      learn_sigma=True, num_head_channels=64,
+                      resblock_updown=True, use_scale_shift_norm=True,
+                      diffusion_steps=1000, noise_schedule="linear"))
+    t_unet, diff_ref = create_model_and_diffusion(**flags)
+    t_unet.eval()
+    import jax.numpy as jnp
+    f_model = adm.ffhq_unet(dtype=jnp.float32)
+    params = ckpt.convert_adm_state_dict(t_unet.state_dict())
+    tables = diffusion.make_diffusion(1000, "linear")
+    return t_unet, diff_ref, f_model, params, tables
+
+
+def build_operators(names, x0_t):
+    """Returns {name: (ref_op, ref_meas, our_op, our_meas)}; measurement noise
+    pinned by seeding torch before each forward."""
+    import jax.numpy as jnp
+    from functools import partial
+
+    import torch.nn.functional as F
+    from condition.dps_utils.resizer import Resizer
+    from condition.measurements import (GaussialBlurOperator,
+                                        SuperResolutionOperator,
+                                        get_operator as ref_get_operator)
+
+    from kdip_tpu import operators as kops
+    from kdip_tpu.ops import kernels as okernels
+
+    out = {}
+    for name in names:
+        if name == "inpainting":
+            np.random.seed(0)
+            ref_op = ref_get_operator(
+                name="inpainting", device="cpu", sigma_s=0.05,
+                mask_opt=dict(mask_type="random", mask_prob_range=(0.5, 0.5),
+                              image_size=SIZE))
+            torch.manual_seed(1)
+            ref_meas = ref_op.forward(x0_t.clone(), flatten=True)
+            mask = ref_op.mask.numpy()[0].transpose(1, 2, 0)
+            our_op = kops.InpaintingOperator(sigma_s=jnp.float32(0.05),
+                                             mask=jnp.asarray(mask))
+            our_meas = kops.Measurement(
+                y=jnp.asarray(ref_meas[0].numpy().transpose(0, 2, 3, 1)))
+        elif name in ("gaussian_blur", "motion_blur"):
+            fname = ("gaussian_ks61_std3.0.npy" if name == "gaussian_blur"
+                     else "motion_ks61_std0.5.npy")
+            kernel = np.load(os.path.join(KERNELS, fname))
+            ref_op = GaussialBlurOperator.__new__(GaussialBlurOperator)
+            ref_op.device = "cpu"
+            ref_op.kernel_size = 61
+            ref_op.kernel = torch.tensor(kernel.astype(np.float32))
+            ref_op.sigma_s = torch.Tensor([0.05])
+            ref_op.in_shape = (1, 3, SIZE, SIZE)
+            torch.manual_seed(1)
+            ref_meas = ref_op.forward(x0_t.clone(), flatten=True)
+            our_op = kops.get_operator(name, in_shape=(1, 3, SIZE, SIZE),
+                                       sigma_s=0.05, kernel=kernel)
+            our_meas = our_op.finalize(
+                jnp.asarray(ref_meas[0].numpy().transpose(0, 2, 3, 1)))
+        elif name == "super_resolution":
+            sf = 4
+            mat = os.path.join(KERNELS, "kernels_bicubicx234.mat")
+            ref_op = SuperResolutionOperator.__new__(SuperResolutionOperator)
+            ref_op.device = "cpu"
+            ref_op.up_sample = partial(F.interpolate, scale_factor=sf)
+            ref_op.down_sample = Resizer((1, 3, SIZE, SIZE), 1 / sf)
+            ref_op.scale_factor = sf
+            ref_op.sigma_s = torch.Tensor([0.05])
+            ref_op.kernel = torch.tensor(okernels.load_bicubic_mat(mat, sf))
+            ref_op.in_shape = (1, 3, SIZE, SIZE)
+            ref_op.out_shape = (1, 3, SIZE // sf, SIZE // sf)
+            torch.manual_seed(1)
+            ref_meas = ref_op.forward(x0_t.clone(), flatten=True)
+            our_op = kops.get_operator("super_resolution",
+                                       in_shape=(1, 3, SIZE, SIZE),
+                                       scale_factor=sf, sigma_s=0.05,
+                                       kernel_path=mat)
+            our_meas = our_op.finalize(
+                jnp.asarray(ref_meas[0].numpy().transpose(0, 2, 3, 1)))
+        else:
+            raise ValueError(name)
+        out[name] = (ref_op, ref_meas, our_op, our_meas)
+    return out
+
+
+def fake_recon_mse():
+    """Shared synthetic analytic-variance table (real one needs the released
+    checkpoint; parity only needs both sides to read the same table)."""
+    from k_diffusion.sampling import get_sigmas_karras
+    sigmas = get_sigmas_karras(1000, 1e-2, 80.0, rho=7.0)[:-1]
+    mse = sigmas ** 2 / (1 + sigmas ** 2) * 0.9
+    return {"sigmas": sigmas, "mse_list": mse}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--operators", nargs="+",
+                   default=["inpainting", "gaussian_blur", "motion_blur",
+                            "super_resolution"])
+    p.add_argument("--configs", nargs="+", default=list(CONFIGS))
+    p.add_argument("--steps", type=int, default=2)
+    p.add_argument("--skip-cg-study", action="store_true")
+    p.add_argument("--out", default=os.path.join(REPO, "RESULTS_256.json"))
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from condition.condition import ConditionOpenAIDenoiser
+    from k_diffusion.sampling import sample_euler as ref_sample_euler
+
+    from kdip_tpu import guidance, samplers, schedules
+
+    t_unet, diff_ref, f_model, params, tables = build_models()
+
+    rng = np.random.RandomState(1)
+    x0 = rng.rand(1, 3, SIZE, SIZE).astype(np.float32) * 2 - 1
+    x0_t = torch.tensor(x0)
+    ops = build_operators(args.operators, x0_t)
+    recon_ref = fake_recon_mse()
+    recon_ours = {"sigmas": jnp.asarray(recon_ref["sigmas"].numpy()),
+                  "mse_list": jnp.asarray(recon_ref["mse_list"].numpy())}
+
+    sigmas = schedules.get_sigmas_karras(args.steps, 0.01, 80.0)
+    x_init = (rng.randn(1, 3, SIZE, SIZE) * 80.0).astype(np.float32)
+
+    def model_apply(p_, x, t):
+        return f_model.apply({"params": p_}, x, t.astype(jnp.float32))
+
+    results = {"steps": args.steps, "size": SIZE, "trajectories": {},
+               "cg_study": {}}
+
+    for op_name, (ref_op, ref_meas, our_op, our_meas) in ops.items():
+        for cfg_name in args.configs:
+            c = CONFIGS[cfg_name]
+            t0 = time.time()
+            ref_cond = ConditionOpenAIDenoiser(
+                inner_model=t_unet, diffusion=diff_ref, operator=ref_op,
+                measurement=ref_meas, guidance=c["guidance"],
+                x0_cov_type=c["cov"],
+                recon_mse=recon_ref if c["cov"] == "analytic" else None,
+                zeta=c.get("zeta"), lambda_=c.get("lambda_"),
+                device="cpu").eval()
+            ref_out = ref_sample_euler(
+                ref_cond, torch.tensor(x_init),
+                torch.tensor(np.asarray(sigmas)), disable=True)
+            t_ref = time.time() - t0
+
+            gcfg = guidance.GuidanceConfig(
+                guidance=c["guidance"], x0_cov_type=c["cov"],
+                zeta=c.get("zeta"), lambda_=c.get("lambda_"), cg_maxiter=1000)
+            uncond, var_fn = guidance.make_openai_uncond(
+                model_apply, tables, gcfg,
+                recon_mse=recon_ours if c["cov"] == "analytic" else None)
+            denoise = guidance.make_condition_denoiser(
+                uncond, var_fn, our_op, our_meas, gcfg, params=params)
+            t0 = time.time()
+            our_out = samplers.sample_euler(
+                lambda x, s, k: denoise(x, s, k),
+                jnp.asarray(x_init.transpose(0, 2, 3, 1)), sigmas,
+                jax.random.key(0))
+            our_np = np.asarray(our_out).transpose(0, 3, 1, 2)
+            t_ours = time.time() - t0
+
+            ref_np = ref_out.detach().numpy()
+            diff = np.abs(our_np - ref_np)
+            mse = float(np.mean((our_np - ref_np) ** 2))
+            psnr = float(10 * np.log10(4.0 / mse)) if mse > 0 else float("inf")
+            rec = {"max_abs": float(diff.max()), "mean_abs": float(diff.mean()),
+                   "psnr_between": round(psnr, 2),
+                   "ref_sec": round(t_ref, 1), "ours_sec": round(t_ours, 1)}
+            results["trajectories"][f"{op_name}/{cfg_name}"] = rec
+            print(f"{op_name}/{cfg_name}: {rec}", flush=True)
+
+    if not args.skip_cg_study:
+        # CG residual at the smallest sigma (tensor covariance -> CG branch)
+        from kdip_tpu.ops.transforms import OrthoTransform
+        ortho = OrthoTransform(None)
+        sigma_small = jnp.float32(0.05)
+        for op_name, (_, _, our_op, our_meas) in ops.items():
+            uncond, var_fn = guidance.make_openai_uncond(
+                model_apply, tables,
+                guidance.GuidanceConfig(guidance="I", x0_cov_type="convert"))
+            x_t = jnp.asarray(
+                (x0 + 0.05 * rng.randn(1, 3, SIZE, SIZE).astype(np.float32))
+                .transpose(0, 2, 3, 1)) * 1.0
+            x0_mean, aux = uncond(params, x_t, sigma_small)
+            theta0_var = var_fn(aux, sigma_small, None, None)
+            entry = {}
+            sols = {}
+            for maxiter in (100, 1000):
+                gcfg = guidance.GuidanceConfig(guidance="I",
+                                               x0_cov_type="convert",
+                                               cg_maxiter=maxiter)
+                mat = guidance.mat_solver(our_op, our_meas.y, x0_mean,
+                                          theta0_var, ortho, False, gcfg)
+                sols[maxiter] = np.asarray(mat)
+            delta = np.abs(sols[100] - sols[1000])
+            denom = float(np.abs(sols[1000]).max()) or 1.0
+            entry = {"max_abs_diff_100_vs_1000": float(delta.max()),
+                     "rel_max": float(delta.max()) / denom}
+            results["cg_study"][op_name] = entry
+            print(f"cg_study {op_name}: {entry}", flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+        f.write("\n")
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""DPS aux tooling: parity vs the reference's tools.py / fastmri_utils.py."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kdip_tpu.ops import dps_tools as dt
+
+
+def test_spatial_discounting_mask_parity(reference_path):
+    from condition.dps_utils.tools import spatial_discounting_mask as ref_sdm
+
+    cfg = {"spatial_discounting_gamma": 0.9, "mask_shape": (16, 24),
+           "discounted_mask": True, "cuda": False}
+    ref = ref_sdm(cfg).numpy()  # [1, 1, h, w]
+    ours = np.asarray(dt.spatial_discounting_mask((16, 24), gamma=0.9))
+    np.testing.assert_allclose(ours[0, :, :, 0], ref[0, 0], atol=1e-6)
+
+
+def test_bbox2mask_shapes_and_support():
+    key = jax.random.key(0)
+    boxes = dt.random_bbox(key, (64, 64), (16, 16), margin=(4, 4),
+                           batch_size=3, mask_batch_same=False)
+    assert boxes.shape == (3, 4)
+    assert (boxes[:, 0] >= 4).all() and (boxes[:, 0] + 16 <= 60).all()
+    masks = dt.bbox2mask(key, boxes, 64, 64, max_delta_h=4, max_delta_w=4)
+    assert masks.shape == (3, 64, 64, 1)
+    m = np.asarray(masks)
+    assert set(np.unique(m)) <= {0.0, 1.0}
+    # jittered box area within [ (16-2*2)^2, 16^2 ]
+    areas = m.sum(axis=(1, 2, 3))
+    assert ((areas >= 12 * 12) & (areas <= 16 * 16)).all()
+
+
+def test_mask_image_hole_and_mosaic():
+    key = jax.random.key(1)
+    x = jax.random.uniform(jax.random.key(2), (2, 32, 32, 3))
+    boxes = dt.random_bbox(key, (32, 32), (8, 8), batch_size=2)
+    holed, mask = dt.mask_image(key, x, boxes, (32, 32), mask_type="hole")
+    assert np.asarray(holed)[np.asarray(mask).astype(bool).repeat(3, -1)].max() == 0.0
+    mosaic, _ = dt.mask_image(key, x, boxes, (32, 32), mask_type="mosaic",
+                              mosaic_unit_size=8)
+    assert mosaic.shape == x.shape
+    # outside the box, mosaic leaves pixels untouched
+    outside = (1 - np.asarray(mask)).astype(bool).repeat(3, -1)
+    np.testing.assert_allclose(np.asarray(mosaic)[outside],
+                               np.asarray(x)[outside], atol=1e-6)
+
+
+def test_local_patch():
+    x = jnp.arange(2 * 8 * 8 * 1, dtype=jnp.float32).reshape(2, 8, 8, 1)
+    boxes = [(1, 2, 3, 4), (0, 0, 3, 4)]
+    patches = dt.local_patch(x, boxes)
+    assert patches.shape == (2, 3, 4, 1)
+    np.testing.assert_array_equal(np.asarray(patches[0]),
+                                  np.asarray(x[0, 1:4, 2:6]))
+
+
+def test_extract_image_patches_vs_reference(reference_path):
+    import torch
+    from condition.dps_utils.tools import extract_image_patches as ref_eip
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 16, 16).astype(np.float32)  # ref is NCHW
+    ref = ref_eip(torch.tensor(x), ksizes=[3, 3], strides=[2, 2],
+                  rates=[1, 1], padding="same").numpy()  # [B, C*kh*kw, L]
+    ours = dt.extract_image_patches(jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                    (3, 3), (2, 2), (1, 1), "same")
+    B, nH, nW, D = ours.shape
+    # ref layout: [B, C*kh*kw, nH*nW] with channel-major patch dim;
+    # ours: [B, nH, nW, kh*kw*C] with (kh, kw, c) patch order
+    ours_cmajor = np.asarray(ours).reshape(B, nH * nW, 3 * 3, 3)
+    ours_cmajor = ours_cmajor.transpose(0, 3, 2, 1).reshape(B, 3 * 3 * 3,
+                                                            nH * nW)
+    np.testing.assert_allclose(ours_cmajor, ref, atol=1e-6)
+
+
+def test_fastmri_fft2c_roundtrip_and_parity(reference_path):
+    import torch
+    from condition.dps_utils.fastmri_utils import fft2c_new, ifft2c_new
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 16, 16, 2).astype(np.float32)
+    ref = fft2c_new(torch.tensor(x)).numpy()
+    ours = np.asarray(dt.fft2c(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    back = np.asarray(dt.ifft2c(dt.fft2c(jnp.asarray(x))))
+    np.testing.assert_allclose(back, x, atol=1e-5)
+    ref_i = ifft2c_new(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(np.asarray(dt.ifft2c(jnp.asarray(x))), ref_i,
+                               atol=1e-5)
+
+
+def test_normalize_helpers():
+    x = np.array([[1.0, 3.0], [2.0, 5.0]])
+    n = dt.normalize_np(x)
+    assert n.min() == 0.0 and n.max() == 1.0
+    chw = np.zeros((3, 4, 4))
+    chw[0] = 1.0
+    out = dt.clear_color(jnp.asarray(chw))
+    assert out.shape == (4, 4, 3)

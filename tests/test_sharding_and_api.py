@@ -48,6 +48,29 @@ def test_posterior_sampler_api(setup):
     assert float(jnp.abs(out).max()) <= 1.0 + 1e-5
 
 
+def test_per_sample_map_matches_batched(setup):
+    """per_sample_map=True (the fast v5e layout, see RESULTS.md) must produce
+    the same samples as the batched denoise path."""
+    model_apply, params, tables = setup
+    op = kops.get_operator("inpainting", sigma_s=0.05,
+                           mask_opt=dict(mask_type="random",
+                                         mask_prob_range=(0.5, 0.5),
+                                         image_size=16), seed=0)
+    gcfg = guidance.GuidanceConfig(guidance="I", x0_cov_type="convert",
+                                   cg_maxiter=20)
+    x0 = jax.random.uniform(jax.random.key(1), (1, 16, 16, 3)) * 2 - 1
+    meas = op.measure(x0, jax.random.key(2))
+    outs = {}
+    for psm in (False, True):
+        scfg = sampling_api.SamplerConfig(steps=3, per_sample_map=psm)
+        sampler = sampling_api.build_posterior_sampler(
+            model_apply, tables, op, gcfg, scfg, image_size=16)
+        outs[psm] = np.asarray(jax.jit(
+            lambda p, m, k: sampler(p, m, k, n=3))(params, meas,
+                                                   jax.random.key(3)))
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-4)
+
+
 def test_sharded_batch_sampling_matches_unsharded(setup):
     """8-way dp-sharded guided sampling == single-device, bitwise-comparable
     math (same program, different layout)."""
