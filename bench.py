@@ -7,30 +7,47 @@ Type-I guidance with the "convert" posterior covariance, inpainting p=0.5)
 — end-to-end on one TPU chip, including the guidance VJP and the on-device
 CG solves in every step.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-vs_baseline: the reference repo publishes no numbers (BASELINE.md); its
-pipeline is batch=1 PyTorch with scipy CG on *CPU* per step. Until a real
-A100 measurement is recorded in BASELINE.json, vs_baseline is reported
-against REF_EST_SAMPLES_PER_SEC below — a generous estimate of the reference
-on A100 (50 Heun steps x ~2 NFE x (fwd+VJP) at ~25 NFE-equiv/s, ignoring its
-CPU CG stalls) — and should be read as approximate.
+vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
+baseline is a MEASUREMENT of the reference torch pipeline on this host,
+recorded by `python scripts/measure_reference.py` into BASELINE_MEASURED.json
+(same workload: 50-step stochastic Heun, Type-I/convert, inpainting; the
+extrapolated 99-guided-NFE wall-clock). vs_baseline therefore compares one
+TPU v5e chip against this host's CPU — the only reference hardware available
+here — and the JSON says so via baseline_source. If the measurement file is
+absent, vs_baseline is null.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
-# Generous reference estimate (see module docstring).
-REF_EST_SAMPLES_PER_SEC = 1.0 / 12.0
 
-# Batch 1 is fastest per-sample on v5e for the guided path: the UNet vjp
-# scales superlinearly with batch (memory-bandwidth-bound backward; full
-# remat measured worse). Multi-sample throughput comes from the dp mesh
-# (parallel/sharding.py), not per-chip batching.
-BATCH = 1
+def load_measured_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if not os.path.exists(path):
+        return None, None
+    with open(path) as f:
+        data = json.load(f)
+    sps = data["extrapolated_50step"]["samples_per_sec"]
+    hw = data["hardware"]
+    src = (f"measured: reference torch pipeline on this host "
+           f"({hw['cores']}-core {hw['cpu']} CPU, torch {hw['torch']}), "
+           f"{sps:.6f} samples/s — see BASELINE_MEASURED.json / "
+           f"scripts/measure_reference.py")
+    return sps, src
+
+# Batched 256px convs pick worse layouts than batch-1 on v5e (see
+# RESULTS.md "Batch pathology root-caused"); the guided sampler therefore
+# lax.maps over the batch per NFE (SamplerConfig.per_sample_map), which
+# measured fastest per-sample at B=4 (11.35 vs 11.99 ms/sample/NFE at B=1,
+# 25.28 batched). Cross-chip scale-out remains the dp mesh.
+BATCH = 4
 STEPS = 50
 
 
@@ -57,7 +74,9 @@ def main():
     sampler = K.sampling_api.build_posterior_sampler(model_apply, tables, op,
                                                      gcfg, scfg)
 
-    x0 = jax.random.uniform(jax.random.key(1), (BATCH, 256, 256, 3)) * 2 - 1
+    # one measurement, BATCH samples: the per_sample_map path pairs all
+    # samples with the single measurement (the reference's -n semantics)
+    x0 = jax.random.uniform(jax.random.key(1), (1, 256, 256, 3)) * 2 - 1
     meas = op.measure(x0, jax.random.key(2))
 
     jitted = jax.jit(lambda p, m, k: sampler(p, m, k, n=BATCH))
@@ -72,11 +91,14 @@ def main():
     dt = (time.time() - t0) / n_runs
 
     samples_per_sec = BATCH / dt
+    ref_sps, baseline_source = load_measured_baseline()
     print(json.dumps({
         "metric": "samples/sec/chip (FFHQ-256 guided 50-step Heun, Type-I convert, inpainting)",
         "value": round(samples_per_sec, 4),
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / REF_EST_SAMPLES_PER_SEC, 2),
+        "vs_baseline": (round(samples_per_sec / ref_sps, 2)
+                        if ref_sps else None),
+        "baseline_source": baseline_source or "no measurement recorded",
     }))
 
 

@@ -37,6 +37,58 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(dev_array, axis_names)
 
 
+def make_hybrid_mesh(n_slices: int, per_slice: Optional[int] = None,
+                     axis_names: Tuple[str, str] = ("dcn", "dp")) -> Mesh:
+    """Multislice mesh: outer axis over slices (DCN), inner over ICI
+    (the scaling-book recipe: collectives ride ICI within a slice; only the
+    outer-axis reductions cross DCN).
+
+    On real multislice hardware uses `mesh_utils.create_hybrid_device_mesh`
+    so device order respects slice locality; on a flat device set (single
+    slice, CPU mesh) falls back to a reshape — same program, same shardings.
+    """
+    devices = jax.devices()
+    if per_slice is None:
+        assert len(devices) % n_slices == 0
+        per_slice = len(devices) // n_slices
+    try:
+        from jax.experimental import mesh_utils
+        if n_slices > 1 and getattr(devices[0], "slice_index", None) is not None:
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                (1, per_slice), (n_slices, 1), devices=devices)
+            return Mesh(dev_array, axis_names)
+    except (ImportError, ValueError, AssertionError):
+        pass
+    dev_array = np.array(devices[:n_slices * per_slice]).reshape(
+        (n_slices, per_slice))
+    return Mesh(dev_array, axis_names)
+
+
+def fsdp_spec(param, axis_size: int, axis: str = "fsdp") -> P:
+    """PartitionSpec sharding the largest divisible dimension of `param`
+    over the fsdp axis (replicated if nothing divides)."""
+    shape = getattr(param, "shape", ())
+    best, best_dim = None, -1
+    for i, d in enumerate(shape):
+        if d % axis_size == 0 and d > best_dim:
+            best, best_dim = i, d
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = axis
+    return P(*spec)
+
+
+def shard_params_fsdp(tree: Any, mesh: Mesh, axis: str = "fsdp") -> Any:
+    """Fully-sharded-DP placement: every param's largest divisible dim is
+    sharded over `axis` (XLA all-gathers it where used and reduce-scatters
+    gradients — the collectives the reference would need ZeRO for)."""
+    size = mesh.shape[axis]
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, fsdp_spec(x, size, axis))),
+        tree)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     """Shard the leading (batch) dimension across the mesh axis."""
     return NamedSharding(mesh, P(axis))

@@ -1,0 +1,79 @@
+"""Production-scale parity smoke: one guided ODE step at 256 px with the
+full FFHQ 93.6M-param architecture vs the torch reference (the full
+operator x guidance matrix lives in scripts/parity_256.py -> RESULTS_256.json;
+this keeps one configuration as a fast-ish regression guard)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kdip_tpu import ckpt, diffusion, guidance, samplers, schedules
+from kdip_tpu import operators as kops
+from kdip_tpu.models import adm
+
+SIZE = 256
+
+
+@pytest.mark.slow
+def test_256px_inpainting_convert_one_step(reference_path):
+    import torch
+    from condition.condition import ConditionOpenAIDenoiser
+    from condition.measurements import get_operator as ref_get_operator
+    from guided_diffusion.script_util import (create_model_and_diffusion,
+                                              model_and_diffusion_defaults)
+    from k_diffusion.sampling import sample_euler as ref_sample_euler
+
+    torch.manual_seed(0)
+    flags = model_and_diffusion_defaults()
+    flags.update(dict(image_size=SIZE, num_channels=128, num_res_blocks=1,
+                      attention_resolutions="16", dropout=0.0,
+                      learn_sigma=True, num_head_channels=64,
+                      resblock_updown=True, use_scale_shift_norm=True,
+                      diffusion_steps=1000, noise_schedule="linear"))
+    t_unet, diff_ref = create_model_and_diffusion(**flags)
+    t_unet.eval()
+    f_model = adm.ffhq_unet(dtype=jnp.float32)
+    params = ckpt.convert_adm_state_dict(t_unet.state_dict())
+    tables = diffusion.make_diffusion(1000, "linear")
+
+    np.random.seed(0)
+    ref_op = ref_get_operator(name="inpainting", device="cpu", sigma_s=0.05,
+                              mask_opt=dict(mask_type="random",
+                                            mask_prob_range=(0.5, 0.5),
+                                            image_size=SIZE))
+    rng = np.random.RandomState(1)
+    x0 = rng.rand(1, 3, SIZE, SIZE).astype(np.float32) * 2 - 1
+    torch.manual_seed(1)
+    ref_meas = ref_op.forward(torch.tensor(x0).clone(), flatten=True)
+    ref_cond = ConditionOpenAIDenoiser(
+        inner_model=t_unet, diffusion=diff_ref, operator=ref_op,
+        measurement=ref_meas, guidance="I", x0_cov_type="convert",
+        recon_mse=None, device="cpu").eval()
+
+    sigmas = schedules.get_sigmas_karras(1, 0.01, 80.0)
+    x_init = (rng.randn(1, 3, SIZE, SIZE) * 80.0).astype(np.float32)
+    ref_out = ref_sample_euler(ref_cond, torch.tensor(x_init),
+                               torch.tensor(np.asarray(sigmas)), disable=True)
+
+    mask = ref_op.mask.numpy()[0].transpose(1, 2, 0)
+    my_op = kops.InpaintingOperator(sigma_s=jnp.float32(0.05),
+                                    mask=jnp.asarray(mask))
+    meas = kops.Measurement(
+        y=jnp.asarray(ref_meas[0].numpy().transpose(0, 2, 3, 1)))
+    cfg = guidance.GuidanceConfig(guidance="I", x0_cov_type="convert",
+                                  cg_maxiter=1000)
+
+    def model_apply(p, x, t):
+        return f_model.apply({"params": p}, x, t.astype(jnp.float32))
+
+    uncond, var_fn = guidance.make_openai_uncond(model_apply, tables, cfg)
+    denoise = guidance.make_condition_denoiser(uncond, var_fn, my_op, meas,
+                                               cfg, params=params)
+    our_out = samplers.sample_euler(
+        lambda x, s, k: denoise(x, s, k),
+        jnp.asarray(x_init.transpose(0, 2, 3, 1)), sigmas, jax.random.key(0))
+
+    np.testing.assert_allclose(np.asarray(our_out).transpose(0, 3, 1, 2),
+                               ref_out.detach().numpy(), atol=5e-4)
