@@ -56,11 +56,16 @@ class GuidanceConfig:
     # CG controls (ref uses scipy tol=1e-4, maxiter=1000, condition.py:343)
     cg_tol: float = 1e-4
     cg_maxiter: int = 100
-    # Precondition CG with the closed-form isotropic solve at the mean
-    # variance (TPU-first optimization; the reference's scipy CG is
-    # unpreconditioned). Solves the same system to the same tolerance with
-    # far fewer iterations.
-    cg_precondition: bool = True
+    # Optionally precondition CG with the closed-form isotropic solve at the
+    # mean variance. 36% fewer iterations on near-isotropic covariances
+    # (convert below threshold), but actively HARMFUL on wide-dynamic-range
+    # fields: with tmpd at sigma=80 (theta in [0, 6.4e3], mean 64) the
+    # preconditioned solve is ~0.87 rel-L2 from the true solution at 100
+    # iters where the plain solve is 1.6e-3 (scripts/debug_tmpd_blur.py).
+    # Default OFF — correctness first, matching the reference's
+    # unpreconditioned scipy CG; opt in per-run when the covariance is known
+    # to be near-isotropic.
+    cg_precondition: bool = False
     # autoI probe count for the stochastic trace term
     num_probes: int = 8
 

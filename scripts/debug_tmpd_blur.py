@@ -71,8 +71,10 @@ def main():
           flush=True)
 
     ortho = OrthoTransform(None)
-    FB = np.asarray(op.FB)
-    F2B = np.asarray(op.F2B)
+    # assemble on host from the real/imag fields (complex64 device->host
+    # transfer is UNIMPLEMENTED on the axon backend)
+    FB = np.asarray(op.FB_re) + 1j * np.asarray(op.FB_im)
+    F2B = np.asarray(op.FB_re) ** 2 + np.asarray(op.FB_im) ** 2
     sigma_s = 0.05
     y_np = np.asarray(y)
     x0m = np.asarray(x0_mean)

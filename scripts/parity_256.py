@@ -123,7 +123,9 @@ def build_operators(names, x0_t):
             ref_op.down_sample = Resizer((1, 3, SIZE, SIZE), 1 / sf)
             ref_op.scale_factor = sf
             ref_op.sigma_s = torch.Tensor([0.05])
-            ref_op.kernel = torch.tensor(okernels.load_bicubic_mat(mat, sf))
+            # torch.Tensor (capital T) casts to float32 like the reference's
+            # __init__ (measurements.py:95-97)
+            ref_op.kernel = torch.Tensor(okernels.load_bicubic_mat(mat, sf))
             ref_op.in_shape = (1, 3, SIZE, SIZE)
             ref_op.out_shape = (1, 3, SIZE // sf, SIZE // sf)
             torch.manual_seed(1)
@@ -227,6 +229,8 @@ def main():
                    "ref_sec": round(t_ref, 1), "ours_sec": round(t_ours, 1)}
             results["trajectories"][f"{op_name}/{cfg_name}"] = rec
             print(f"{op_name}/{cfg_name}: {rec}", flush=True)
+            with open(args.out, "w") as f:  # incremental: survive crashes
+                json.dump(results, f, indent=2)
 
     if not args.skip_cg_study:
         # CG residual at the smallest sigma (tensor covariance -> CG branch)
@@ -257,6 +261,8 @@ def main():
                      "rel_max": float(delta.max()) / denom}
             results["cg_study"][op_name] = entry
             print(f"cg_study {op_name}: {entry}", flush=True)
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
