@@ -1,1 +1,2 @@
-from . import fft, kernels, resize  # noqa: F401
+from . import (deblur, fft, image_utils, inpaint, kernels,  # noqa: F401
+               resize)

@@ -216,6 +216,67 @@ def fspecial_log(hsize: int, sigma: float) -> np.ndarray:
     return h1 - h1.sum() / (hsize * hsize)
 
 
+def fspecial_motion(motion_len: float, theta: float) -> np.ndarray:
+    """MATLAB fspecial('motion', len, theta): a line segment of length
+    `motion_len` at angle `theta` (degrees, CCW), antialiased.
+
+    The reference stubs this out with NotImplemented
+    (ref: utils_deblur.py:515-516); we implement the MATLAB algorithm
+    (perpendicular-distance antialiasing over a half-line, mirrored)."""
+    length = max(1.0, float(motion_len))
+    half = (length - 1) / 2.0
+    phi = np.deg2rad(theta % 180.0)
+    cosphi, sinphi = np.cos(phi), np.sin(phi)
+    xsign = np.sign(cosphi) if cosphi != 0 else 1.0
+    linewdt = 1.0
+    # half-size of the kernel
+    eps = np.finfo(float).eps
+    sx = int(np.fix(half * cosphi + linewdt * xsign - length * eps))
+    sy = int(np.fix(half * sinphi + linewdt - length * eps))
+    x, y = np.meshgrid(np.arange(0, sx + xsign, xsign or 1),
+                       np.arange(0, sy + 1))
+    # distance from each pixel to the line through the origin
+    dist2line = y * cosphi - x * sinphi
+    rad = np.sqrt(x ** 2 + y ** 2)
+    # pixels past the segment endpoint: measure to the endpoint instead
+    lastpix = (rad >= half) & (np.abs(dist2line) <= linewdt)
+    x2lastpix = half - np.abs((x[lastpix] + dist2line[lastpix] * sinphi)
+                              / cosphi) if cosphi != 0 else half - y[lastpix]
+    dist2line = dist2line.copy()
+    dist2line[lastpix] = np.sqrt(dist2line[lastpix] ** 2 + x2lastpix ** 2)
+    dist2line = linewdt + eps - np.abs(dist2line)
+    dist2line[dist2line < 0] = 0
+    # mirror to the full kernel
+    h = np.rot90(dist2line, 2)
+    H = np.zeros((h.shape[0] * 2 - 1, h.shape[1] * 2 - 1))
+    H[:h.shape[0], :h.shape[1]] = h
+    H[h.shape[0] - 1:, h.shape[1] - 1:] = dist2line
+    H = H / (H.sum() + eps * length * length)
+    if cosphi > 0:
+        H = np.flipud(H)
+    return H
+
+
+def fspecial_prewitt() -> np.ndarray:
+    """(ref: utils_deblur.py:519-520)"""
+    return np.array([[1, 1, 1], [0, 0, 0], [-1, -1, -1]], dtype=np.float64)
+
+
+def fspecial_sobel() -> np.ndarray:
+    """(ref: utils_deblur.py:523-524)"""
+    return np.array([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], dtype=np.float64)
+
+
+def fspecial_gauss(size: int, sigma: float) -> np.ndarray:
+    """MATLAB-meshgrid Gaussian used by the trajectory blur synthesizer
+    (ref: utils_deblur.py:550-553); note the off-center grid for even
+    sizes matches the reference's `mgrid[-size//2+1 : size//2+1]`."""
+    ax = np.arange(-size // 2 + 1, size // 2 + 1)
+    x, y = np.meshgrid(ax, ax, indexing="ij")
+    g = np.exp(-((x ** 2 + y ** 2) / (2.0 * sigma ** 2)))
+    return g / g.sum()
+
+
 def fspecial(filter_type: str, *args, **kwargs) -> np.ndarray:
     """MATLAB fspecial dispatch (ref: utils_deblur.py:527-541)."""
     if filter_type == "average":
@@ -228,7 +289,97 @@ def fspecial(filter_type: str, *args, **kwargs) -> np.ndarray:
         return fspecial_laplacian(*args, **kwargs)
     if filter_type == "log":
         return fspecial_log(*args, **kwargs)
+    if filter_type == "motion":
+        return fspecial_motion(*args, **kwargs)
+    if filter_type == "prewitt":
+        return fspecial_prewitt(*args, **kwargs)
+    if filter_type == "sobel":
+        return fspecial_sobel(*args, **kwargs)
     raise ValueError(f"unknown fspecial filter: {filter_type}")
+
+
+# ---------------------------------------------------------------------------
+# Camera-shake trajectory blur synthesis (ref: utils_deblur.py:556-632)
+# ---------------------------------------------------------------------------
+
+def rot3d(x: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """Rotate a 3-vector by Euler angles r = (rx, ry, rz)
+    (ref: utils_deblur.py:626-632)."""
+    cx, sx = np.cos(r[0]), np.sin(r[0])
+    cy, sy = np.cos(r[1]), np.sin(r[1])
+    cz, sz = np.cos(r[2]), np.sin(r[2])
+    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return rz @ ry @ rx @ x
+
+
+def random_trajectory(rng: np.random.RandomState, T: int = 150) -> np.ndarray:
+    """3-D camera-shake trajectory: random rotational + translational forces
+    integrated over T steps (ref: utils_deblur.py:609-623). Draw order
+    matches the reference so a shared seed is bit-reproducible."""
+    x = np.zeros((3, T))
+    v = rng.randn(3, T)
+    r = np.zeros((3, T))
+    trv, trr = 1.0, 2.0 * np.pi / T
+    for t in range(1, T):
+        f_rot = rng.randn(3) / (t + 1) + r[:, t - 1]
+        f_trans = rng.randn(3) / (t + 1)
+        r[:, t] = r[:, t - 1] + trr * f_rot
+        v[:, t] = v[:, t - 1] + trv * f_trans
+        x[:, t] = x[:, t - 1] + rot3d(v[:, t], r[:, t])
+    return x
+
+
+def kernel_from_trajectory(rng: np.random.RandomState,
+                           x: np.ndarray) -> Optional[np.ndarray]:
+    """Histogram the 2-D projection of a trajectory into a PSF of random odd
+    size h in [5, 27], Gaussian-soften (ref: utils_deblur.py:578-606).
+    Returns None when the trajectory spans fewer than 2 bins (reference
+    returns an implicit None and the caller retries)."""
+    h = 5 - np.log(rng.rand()) / 0.15
+    h = int(round(min(h, 27)))
+    h = h + 1 - h % 2
+    w = h
+    k = np.zeros((h, w))
+    xmin, xmax = x[0].min(), x[0].max()
+    ymin, ymax = x[1].min(), x[1].max()
+    xthr = np.arange(xmin, xmax, (xmax - xmin) / w)
+    ythr = np.arange(ymin, ymax, (ymax - ymin) / h)
+    for i in range(1, xthr.size):
+        for j in range(1, ythr.size):
+            idx = ((x[0, :] >= xthr[i - 1]) & (x[0, :] < xthr[i])
+                   & (x[1, :] >= ythr[j - 1]) & (x[1, :] < ythr[j]))
+            k[i - 1, j - 1] = idx.sum()
+    if k.sum() == 0:
+        return None
+    k = k / k.sum()
+    from scipy.signal import convolve2d
+    k = convolve2d(k, fspecial_gauss(3, 1), "same")
+    return k / k.sum()
+
+
+def blurkernel_synthesis(h: int = 37, w: Optional[int] = None,
+                         seed: Optional[int] = None,
+                         rng: Optional[np.random.RandomState] = None
+                         ) -> np.ndarray:
+    """Random camera-shake PSF, center-padded/cropped to (h, w)
+    (ref: utils_deblur.py:556-575). Explicit RNG instead of numpy's global
+    state; pass `rng` already-seeded to reproduce a reference draw."""
+    if rng is None:
+        rng = np.random.RandomState(seed)
+    w = h if w is None else w
+    x = random_trajectory(rng, 150)
+    k = None
+    while k is None:
+        k = kernel_from_trajectory(rng, x)
+    ph = (h - k.shape[0]) // 2
+    pw = (w - k.shape[1]) // 2
+    if ph < 0 or pw < 0:
+        k = k[:h, :h]
+    else:
+        k = np.pad(k, ((ph, ph), (pw, pw)), "constant")
+    return k
 
 
 def load_levin_kernels(path: str) -> list:

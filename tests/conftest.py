@@ -53,10 +53,15 @@ def _install_reference_shim():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     for pkg in ["k_diffusion", "k_diffusion.models", "condition",
-                "condition.diffpir_utils", "condition.dps_utils", "motionblur"]:
+                "condition.diffpir_utils", "condition.dps_utils", "motionblur",
+                # utils_inpaint.py does `from diffpir_utils import ...`
+                # (absolute); alias the same directory under that name too.
+                "diffpir_utils"]:
         if pkg not in sys.modules:
             mod = types.ModuleType(pkg)
-            mod.__path__ = [os.path.join(REFERENCE_ROOT, *pkg.split("."))]
+            path = ("condition/diffpir_utils" if pkg == "diffpir_utils"
+                    else os.path.join(*pkg.split(".")))
+            mod.__path__ = [os.path.join(REFERENCE_ROOT, path)]
             mod.__package__ = pkg
             sys.modules[pkg] = mod
     # guided_diffusion/__init__.py is a bare docstring — safe to import normally.
@@ -96,6 +101,10 @@ def _install_reference_shim():
         _cg_compat._kdip_tol_shim = True
         _ssl.cg = _cg_compat
     _stub_module("blobfile")
+    # numpy >= 2.0 removed np.alltrue; the reference's zero_pad uses it.
+    import numpy as _np
+    if not hasattr(_np, "alltrue"):
+        _np.alltrue = _np.all
     tv = _stub_module("torchvision")
     import torch as _torch
     tv.torch = _torch
@@ -103,6 +112,14 @@ def _install_reference_shim():
     tv.transforms = sys.modules["torchvision.transforms"]
     _stub_module("torchvision.transforms.functional")
     tv.transforms.functional = sys.modules["torchvision.transforms.functional"]
+    _stub_module("torchvision.utils", make_grid=None)
+    tv.utils = sys.modules["torchvision.utils"]
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        mpl = _stub_module("matplotlib")
+        _stub_module("matplotlib.pyplot")
+        mpl.pyplot = sys.modules["matplotlib.pyplot"]
 
 
 @pytest.fixture(scope="session")

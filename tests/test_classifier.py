@@ -144,8 +144,12 @@ def test_classifier_guided_condition_hooks_parity(reference_path):
 
 def test_classifier_guided_p_sample_loop_runs():
     """End-to-end classifier-guided ancestral sampling (tiny models, jitted
-    scan): finite output in range."""
-    tables = diffusion.make_diffusion(20, "linear")
+    scan): finite output in range.
+
+    NB: a raw 20-step linear schedule is degenerate (beta_end scales to 1.0,
+    alphas_cumprod -> 0 exactly; the torch reference NaNs identically), so we
+    respace a 100-step base chain down to 20 like real deployments do."""
+    tables = diffusion.make_diffusion(100, "linear", timestep_respacing="20")
     unet = adm.ADMUNet(image_size=SIZE, in_channels=3, model_channels=32,
                        out_channels=6, num_res_blocks=1,
                        attention_resolutions=(2,), channel_mult=(1, 2),

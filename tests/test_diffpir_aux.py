@@ -1,0 +1,212 @@
+"""Parity tests for the DiffPIR aux surface: MATLAB imresize / color /
+metrics (ops/image_utils), boundary-artifact reduction (ops/deblur),
+trajectory blur synthesis (ops/kernels), Shepard inpainting init
+(ops/inpaint) — each against the reference implementation as oracle."""
+
+import numpy as np
+import pytest
+
+from kdip_tpu.ops import deblur, image_utils, inpaint, kernels
+
+
+# ---------------------------------------------------------------------------
+# image_utils
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("scale", [0.5, 0.25, 2.0, 1.0 / 3.0, 1.5])
+@pytest.mark.parametrize("chans", [None, 3])
+def test_imresize_matches_reference(reference_path, scale, chans):
+    from condition.diffpir_utils import utils_image as ref
+
+    rng = np.random.RandomState(0)
+    shape = (24, 20) if chans is None else (24, 20, chans)
+    img = rng.rand(*shape).astype(np.float32)
+    want = ref.imresize_np(img.copy(), scale)
+    got = image_utils.imresize_np(img, scale)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
+def test_imresize_jnp_matches_numpy():
+    import jax.numpy as jnp
+    rng = np.random.RandomState(1)
+    img = rng.rand(16, 16, 3).astype(np.float32)
+    a = image_utils.imresize_np(img, 0.5)
+    b = np.asarray(image_utils.imresize(jnp.asarray(img), 0.5))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "float"])
+def test_ycbcr_matches_reference(reference_path, dtype):
+    from condition.diffpir_utils import utils_image as ref
+
+    rng = np.random.RandomState(2)
+    if dtype == "uint8":
+        img = rng.randint(0, 256, (8, 9, 3)).astype(np.uint8)
+    else:
+        img = rng.rand(8, 9, 3).astype(np.float64)
+
+    for only_y in (True, False):
+        np.testing.assert_allclose(
+            image_utils.rgb2ycbcr(img.copy(), only_y),
+            ref.rgb2ycbcr(img.copy(), only_y), atol=1e-5)
+        np.testing.assert_allclose(
+            image_utils.bgr2ycbcr(img.copy(), only_y),
+            ref.bgr2ycbcr(img.copy(), only_y), atol=1e-5)
+    np.testing.assert_allclose(image_utils.ycbcr2rgb(img.copy()),
+                               ref.ycbcr2rgb(img.copy()), atol=1e-5)
+
+
+def test_conversions_and_crops(reference_path):
+    from condition.diffpir_utils import utils_image as ref
+
+    rng = np.random.RandomState(3)
+    u8 = rng.randint(0, 256, (13, 11, 3)).astype(np.uint8)
+    f = rng.rand(13, 11, 3).astype(np.float32)
+    np.testing.assert_allclose(image_utils.uint2single(u8),
+                               ref.uint2single(u8))
+    np.testing.assert_array_equal(image_utils.single2uint(f),
+                                  ref.single2uint(f))
+    np.testing.assert_array_equal(image_utils.modcrop(u8, 4),
+                                  ref.modcrop(u8, 4))
+    np.testing.assert_array_equal(image_utils.shave(u8, 2),
+                                  ref.shave(u8, 2))
+
+
+def test_psnr_ssim_match_reference(reference_path):
+    from condition.diffpir_utils import utils_image as ref
+
+    rng = np.random.RandomState(4)
+    a = rng.randint(0, 256, (32, 32, 3)).astype(np.float64)
+    b = np.clip(a + rng.randn(32, 32, 3) * 12, 0, 255)
+    assert image_utils.calculate_psnr(a, b, border=2) == pytest.approx(
+        ref.calculate_psnr(a, b, border=2), abs=1e-8)
+    try:
+        want = ref.calculate_ssim(a, b, border=2)
+    except ImportError:
+        pytest.skip("cv2 unavailable for the reference oracle")
+    assert image_utils.calculate_ssim(a, b, border=2) == pytest.approx(
+        want, abs=1e-6)
+    # gray path
+    assert image_utils.calculate_ssim(a[..., 0], b[..., 0]) == pytest.approx(
+        ref.calculate_ssim(a[..., 0], b[..., 0]), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# deblur (wrap_boundary_liu & co.)
+# ---------------------------------------------------------------------------
+
+def test_dst1_matches_scipy():
+    from scipy import fftpack
+    rng = np.random.RandomState(5)
+    x = rng.randn(7, 9)
+    np.testing.assert_allclose(np.asarray(deblur.dst1(x, axis=1)),
+                               fftpack.dst(x, type=1, axis=1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(deblur.dst1(x, axis=0)),
+                               fftpack.dst(x, type=1, axis=0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(deblur.idst1(deblur.dst1(x))), x,
+                               atol=1e-6)
+
+
+def test_opt_fft_size_matches_reference(reference_path):
+    from condition.diffpir_utils import utils_deblur as ref
+    n = [1, 2, 17, 31, 100, 257, 511, 1023, 2048]
+    np.testing.assert_array_equal(deblur.opt_fft_size(list(n)),
+                                  ref.opt_fft_size(list(n)))
+
+
+def test_psf2otf_otf2psf_match_reference(reference_path):
+    from condition.diffpir_utils import utils_deblur as ref
+    rng = np.random.RandomState(6)
+    psf = rng.rand(7, 7)
+    psf /= psf.sum()
+    ours = deblur.psf2otf(psf, (16, 16))
+    want = ref.psf2otf(psf, (16, 16))
+    np.testing.assert_allclose(ours, want, atol=1e-12)
+    back = deblur.otf2psf(ours, (7, 7))
+    wback = ref.otf2psf(want, (7, 7))
+    np.testing.assert_allclose(back, wback, atol=1e-12)
+    # exact roundtrip holds at matching sizes (the centered crop of an
+    # odd-sized psf out of an even-sized otf is offset by construction)
+    np.testing.assert_allclose(deblur.otf2psf(deblur.psf2otf(psf)), psf,
+                               atol=1e-12)
+
+
+def test_solve_min_laplacian_matches_reference(reference_path):
+    from condition.diffpir_utils import utils_deblur as ref
+    rng = np.random.RandomState(7)
+    b = rng.rand(9, 12)
+    ours = np.asarray(deblur.solve_min_laplacian(b.copy()))
+    want = ref.solve_min_laplacian(b.copy())
+    np.testing.assert_allclose(ours, want, atol=1e-5)  # fp32 on-device path
+
+
+@pytest.mark.parametrize("chans", [None, 3])
+def test_wrap_boundary_liu_matches_reference(reference_path, chans):
+    from condition.diffpir_utils import utils_deblur as ref
+    rng = np.random.RandomState(8)
+    shape = (20, 24) if chans is None else (20, 24, chans)
+    img = rng.rand(*shape)
+    target = [28, 32]
+    ours = np.asarray(deblur.wrap_boundary_liu(img.copy(), target))
+    want = ref.wrap_boundary_liu(img.copy(), target)
+    assert ours.shape == np.asarray(want).shape
+    np.testing.assert_allclose(ours, want, atol=1e-5)  # fp32 on-device path
+
+
+# ---------------------------------------------------------------------------
+# trajectory blur synthesis
+# ---------------------------------------------------------------------------
+
+def test_blurkernel_synthesis_matches_reference_per_seed(reference_path):
+    from condition.diffpir_utils import utils_deblur as ref
+    for seed in (0, 1, 42):
+        np.random.seed(seed)
+        want = ref.blurkernel_synthesis(h=37)
+        got = kernels.blurkernel_synthesis(h=37, seed=seed)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_fspecial_new_filters(reference_path):
+    from condition.diffpir_utils import utils_deblur as ref
+    np.testing.assert_array_equal(kernels.fspecial("prewitt"),
+                                  ref.fspecial("prewitt"))
+    np.testing.assert_array_equal(kernels.fspecial("sobel"),
+                                  ref.fspecial("sobel"))
+    np.testing.assert_allclose(kernels.fspecial_gauss(3, 1),
+                               ref.fspecial_gauss(3, 1), atol=1e-12)
+    # motion: the reference raises NotImplemented; ours implements the
+    # MATLAB semantics — check the invariants instead.
+    h = kernels.fspecial_motion(9, 0)
+    assert h.sum() == pytest.approx(1.0, abs=1e-6)
+    assert h.shape[0] % 2 == 1 and h.shape[1] % 2 == 1
+    mid = h.shape[0] // 2
+    assert h[mid].sum() == pytest.approx(1.0, abs=1e-6)  # horizontal line
+    h45 = kernels.fspecial_motion(9, 45)
+    assert h45.sum() == pytest.approx(1.0, abs=1e-6)
+    np.testing.assert_allclose(h45, np.rot90(h45, 2), atol=1e-12)  # symmetric
+
+
+# ---------------------------------------------------------------------------
+# inpaint init
+# ---------------------------------------------------------------------------
+
+def test_get_rho_sigma_matches_reference(reference_path):
+    from condition.diffpir_utils import utils_inpaint as ref
+    rhos, sigmas = inpaint.get_rho_sigma(sigma=0.05, iter_num=12,
+                                         model_sigma2=1.7)
+    want_rhos, want_sigmas = ref.get_rho_sigma(sigma=0.05, iter_num=12,
+                                               modelSigma2=1.7)
+    np.testing.assert_allclose(rhos, np.asarray(want_rhos), atol=1e-12)
+    np.testing.assert_allclose(sigmas, want_sigmas, atol=1e-12)
+
+
+@pytest.mark.parametrize("chans", [None, 3])
+def test_shepard_initialize_matches_reference(reference_path, chans):
+    from condition.diffpir_utils import utils_inpaint as ref
+    rng = np.random.RandomState(9)
+    shape = (12, 14) if chans is None else (12, 14, chans)
+    img = rng.rand(*shape)
+    mask = (rng.rand(12, 14) > 0.5).astype(np.float64)
+    want = ref.shepard_initialize(img.copy(), mask.copy(), window=5)
+    got = np.asarray(inpaint.shepard_initialize(img, mask, window=5))
+    np.testing.assert_allclose(got, want, atol=1e-6)  # fp32 on-device path
