@@ -206,3 +206,134 @@ def ifftshift(x: jnp.ndarray, axes=None) -> jnp.ndarray:
 def roll(x: jnp.ndarray, shift, axes) -> jnp.ndarray:
     """(ref: fastmri_utils.py:140-160)"""
     return jnp.roll(x, shift, axes)
+
+
+# ---------------------------------------------------------------------------
+# Patch fold/unfold, thresholding, and misc DPS helpers
+# (ref: dps_utils/img_utils.py:67-155, 119-141, 230-243, 304-362)
+# ---------------------------------------------------------------------------
+
+
+def center_crop(img: np.ndarray, new_width: Optional[int] = None,
+                new_height: Optional[int] = None) -> np.ndarray:
+    """Center-crop an HW(C) array (ref: img_utils.py:119-141)."""
+    height, width = img.shape[:2]
+    new_width = min(width, height) if new_width is None else new_width
+    new_height = min(width, height) if new_height is None else new_height
+    left = int(np.ceil((width - new_width) / 2))
+    right = width - int(np.floor((width - new_width) / 2))
+    top = int(np.ceil((height - new_height) / 2))
+    bottom = height - int(np.floor((height - new_height) / 2))
+    return img[top:bottom, left:right, ...]
+
+
+def unfold_patches(x: jnp.ndarray, crop_size: int = 128,
+                   stride: int = 64) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, n*n, crop, crop, C] sliding patches — the
+    Unfolder (ref: img_utils.py:104-116) as static-grid slices, NHWC. Each
+    patch is a contiguous slice so XLA lowers this to cheap dynamic-slices
+    instead of a gather."""
+    h = x.shape[1]
+    dim = (h - crop_size) // stride + 1
+    rows = []
+    for i in range(dim):
+        for j in range(dim):
+            rows.append(x[:, i * stride:i * stride + crop_size,
+                          j * stride:j * stride + crop_size, :])
+    return jnp.stack(rows, axis=1)
+
+
+def fold_patches(patches: jnp.ndarray, img_size: int = 256,
+                 stride: int = 64) -> jnp.ndarray:
+    """Inverse of unfold_patches: overlap-*sum* (torch nn.Fold semantics,
+    the Folder of ref: img_utils.py:143-154). [B, n*n, k, k, C] -> NHWC."""
+    b, n, k, _, c = patches.shape
+    dim = int(round(np.sqrt(n)))
+    out = jnp.zeros((b, img_size, img_size, c), patches.dtype)
+    idx = 0
+    for i in range(dim):
+        for j in range(dim):
+            out = out.at[:, i * stride:i * stride + k,
+                         j * stride:j * stride + k, :].add(patches[:, idx])
+            idx += 1
+    return out
+
+
+def fold_unfold(x: jnp.ndarray, kernel: int, stride: int):
+    """Unfold into patches, fold back with overlap-averaging
+    (ref: img_utils.py:67-90): returns (patches, reassembled) where
+    reassembled == x wherever the patch grid tiles the image."""
+    patches = unfold_patches(x, kernel, stride)
+    summed = fold_patches(patches, x.shape[1], stride)
+    ones = fold_patches(jnp.ones_like(patches), x.shape[1], stride)
+    return patches, summed / ones
+
+
+def unnormalize(img: jnp.ndarray, s: float = 0.95) -> jnp.ndarray:
+    """Divide by the s-quantile of |img| (ref: img_utils.py:230-232)."""
+    return img / jnp.quantile(jnp.abs(img), s)
+
+
+def normalize_quantile(img: jnp.ndarray, s: float = 0.95) -> jnp.ndarray:
+    """Multiply by the s-quantile of |img| (ref: img_utils.py:235-237)."""
+    return img * jnp.quantile(jnp.abs(img), s)
+
+
+def dynamic_thresholding(img: jnp.ndarray, s: float = 0.95) -> jnp.ndarray:
+    """Imagen-style dynamic thresholding (ref: img_utils.py:240-243; NB the
+    reference composes *normalize* — multiply — then clips, and we mirror
+    that exactly)."""
+    return jnp.clip(normalize_quantile(img, s=s), -1.0, 1.0)
+
+
+def total_variation_loss(img: jnp.ndarray, weight: float) -> jnp.ndarray:
+    """Squared-difference TV on NHWC (ref: img_utils.py:358-361, which is
+    NCHW; axes adjusted)."""
+    tv_h = jnp.mean((img[:, 1:, :, :] - img[:, :-1, :, :]) ** 2)
+    tv_w = jnp.mean((img[:, :, 1:, :] - img[:, :, :-1, :]) ** 2)
+    return weight * (tv_h + tv_w)
+
+
+def create_gaussian(size: int, sigma1: float,
+                    sigma2: float = -1.0) -> np.ndarray:
+    """Separable un-normalized Gaussian window (ref: img_utils.py:351-355)."""
+    zs = np.arange(-size // 2 + 1, size // 2 + 1, dtype=np.float64)
+    f1 = np.exp(-zs ** 2 / (2 * sigma1 ** 2)) / np.sqrt(2 * np.pi * sigma1 ** 2)
+    if sigma2 == -1:
+        f2 = f1
+    else:
+        f2 = (np.exp(-zs ** 2 / (2 * sigma2 ** 2))
+              / np.sqrt(2 * np.pi * sigma2 ** 2))
+    return np.outer(f1, f2)
+
+
+def create_penalty_mask(k_size: int, penalty_scale: float) -> np.ndarray:
+    """Boundary-penalty mask for kernel estimation
+    (ref: img_utils.py:341-348)."""
+    center_size = k_size // 2 + k_size % 2
+    mask = create_gaussian(size=k_size, sigma1=k_size)
+    mask = 1 - mask / np.max(mask)
+    margin = (k_size - center_size) // 2 - 1
+    mask[margin:-margin, margin:-margin] = 0
+    return penalty_scale * mask
+
+
+# Exact-posterior densities for tiny analytic studies
+# (ref: img_utils.py:304-333 exact_posterior) — pure functions.
+
+def log_py_given_x0(x0, y, forward_fn, sigma_0: float, input_dim: int):
+    """log N(y; A x0, sigma_0^2 I) up to the reference's normalization
+    (ref: img_utils.py:310-316)."""
+    norm_const = 1.0 / ((2 * jnp.pi) ** input_dim * sigma_0 ** 2)
+    exp_in = -1.0 / (2 * sigma_0 ** 2) * jnp.linalg.norm(
+        (y - forward_fn(x0)).ravel()) ** 2
+    return jnp.log(norm_const) + exp_in
+
+
+def log_pxt_given_x0(x0, xt, beta_t, label_dim: int):
+    """log N(xt; sqrt(1-beta_t) x0, beta_t I) up to the reference's
+    normalization (ref: img_utils.py:318-324)."""
+    norm_const = 1.0 / ((2 * jnp.pi) ** label_dim * beta_t)
+    exp_in = -1.0 / (2 * beta_t) * jnp.linalg.norm(
+        (xt - jnp.sqrt(1.0 - beta_t) * x0).ravel()) ** 2
+    return jnp.log(norm_const) + exp_in
