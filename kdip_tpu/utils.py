@@ -181,3 +181,76 @@ def make_sample_density(config: Dict, sigma_data: float = 1.0,
         s2 = sd.get("std_2", sd.get("scale_2", 1.0))
         return lambda key, shape: rand_split_log_normal(key, shape, loc, s1, s2)
     raise ValueError(f"Unknown sample density type {ty}")
+
+
+# ---------------------------------------------------------------------------
+# Misc small utilities (ref: k_diffusion/utils.py:16-66, 300-311)
+# ---------------------------------------------------------------------------
+
+
+def from_pil_image(img) -> "np.ndarray":
+    """PIL image -> float HWC array in [-1, 1]
+    (ref: k_diffusion/utils.py:16-22; NHWC instead of CHW)."""
+    import numpy as np
+    x = np.asarray(img, dtype=np.float32) / 255.0
+    if x.ndim == 2:
+        x = x[:, :, None]
+    return x * 2.0 - 1.0
+
+
+def to_pil_image(x):
+    """[-1,1] array ([B,]H,W,C or H,W) -> PIL image
+    (ref: k_diffusion/utils.py:24-31)."""
+    import numpy as np
+    from PIL import Image
+    x = np.asarray(x)
+    if x.ndim == 4:
+        assert x.shape[0] == 1
+        x = x[0]
+    if x.ndim == 3 and x.shape[-1] == 1:
+        x = x[..., 0]
+    u8 = np.uint8(np.round((np.clip(x, -1.0, 1.0) + 1.0) * 127.5))
+    return Image.fromarray(u8)
+
+
+def n_params(params) -> int:
+    """Total parameter count of a pytree (ref: k_diffusion/utils.py:48-50)."""
+    import jax
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+def download_file(path, url, digest=None):
+    """Download `url` to `path` if absent, verifying SHA-256 when given
+    (ref: k_diffusion/utils.py:53-65). No egress in the build sandbox —
+    existing files still get hash-verified, which is the path used here."""
+    import hashlib
+    import shutil
+    import urllib.request
+    from pathlib import Path
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if not path.exists():
+        with urllib.request.urlopen(url) as response, open(path, "wb") as f:
+            shutil.copyfileobj(response, f)
+    if digest is not None:
+        file_digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+        if digest != file_digest:
+            raise OSError(f"hash of {path} (url: {url}) failed to validate")
+    return path
+
+
+class CSVLogger:
+    """Append-mode CSV logger (ref: k_diffusion/utils.py:300-311)."""
+
+    def __init__(self, filename, columns):
+        from pathlib import Path
+        self.filename = Path(filename)
+        self.columns = columns
+        if self.filename.exists():
+            self.file = open(self.filename, "a")
+        else:
+            self.file = open(self.filename, "w")
+            self.write(*self.columns)
+
+    def write(self, *args):
+        print(*args, sep=",", file=self.file, flush=True)
