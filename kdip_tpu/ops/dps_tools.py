@@ -337,3 +337,145 @@ def log_pxt_given_x0(x0, xt, beta_t, label_dim: int):
     exp_in = -1.0 / (2 * beta_t) * jnp.linalg.norm(
         (xt - jnp.sqrt(1.0 - beta_t) * x0).ravel()) ** 2
     return jnp.log(norm_const) + exp_in
+
+
+# ---------------------------------------------------------------------------
+# Optical-flow visualization + reducers (generative-inpainting lineage,
+# ref: dps_utils/tools.py:229-267, 270-296, 336-351, 372-398, 434-462,
+# 502-527)
+# ---------------------------------------------------------------------------
+
+
+def reduce_mean(x: jnp.ndarray, axis=None, keepdim: bool = False):
+    """Sequential per-axis mean (ref: tools.py:229-234)."""
+    axes = range(x.ndim) if not axis else axis
+    for i in sorted(axes, reverse=True):
+        x = jnp.mean(x, axis=i, keepdims=keepdim)
+    return x
+
+
+def reduce_std(x: jnp.ndarray, axis=None, keepdim: bool = False):
+    """Sequential per-axis std — NB std-of-std, matching the reference's
+    fold (ref: tools.py:254-259), with torch's ddof=1."""
+    axes = range(x.ndim) if not axis else axis
+    for i in sorted(axes, reverse=True):
+        x = jnp.std(x, axis=i, keepdims=keepdim, ddof=1)
+    return x
+
+
+def reduce_sum(x: jnp.ndarray, axis=None, keepdim: bool = False):
+    """(ref: tools.py:262-267)"""
+    axes = range(x.ndim) if not axis else axis
+    for i in sorted(axes, reverse=True):
+        x = jnp.sum(x, axis=i, keepdims=keepdim)
+    return x
+
+
+def make_color_wheel() -> np.ndarray:
+    """Middlebury flow color wheel, 55 x 3 uint-valued
+    (ref: tools.py:434-462)."""
+    ry, yg, gc, cb, bm, mr = 15, 6, 4, 11, 13, 6
+    wheel = np.zeros([ry + yg + gc + cb + bm + mr, 3])
+    col = 0
+    wheel[0:ry, 0] = 255
+    wheel[0:ry, 1] = np.floor(255 * np.arange(ry) / ry)
+    col += ry
+    wheel[col:col + yg, 0] = 255 - np.floor(255 * np.arange(yg) / yg)
+    wheel[col:col + yg, 1] = 255
+    col += yg
+    wheel[col:col + gc, 1] = 255
+    wheel[col:col + gc, 2] = np.floor(255 * np.arange(gc) / gc)
+    col += gc
+    wheel[col:col + cb, 1] = 255 - np.floor(255 * np.arange(cb) / cb)
+    wheel[col:col + cb, 2] = 255
+    col += cb
+    wheel[col:col + bm, 2] = 255
+    wheel[col:col + bm, 0] = np.floor(255 * np.arange(bm) / bm)
+    col += bm
+    wheel[col:col + mr, 2] = 255 - np.floor(255 * np.arange(mr) / mr)
+    wheel[col:col + mr, 0] = 255
+    return wheel
+
+
+def compute_color(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Flow vector field -> Middlebury color coding (ref: tools.py:372-398),
+    fully vectorized (the reference already is, minus the channel loop)."""
+    u = np.array(u, dtype=np.float64)
+    v = np.array(v, dtype=np.float64)
+    nan_idx = np.isnan(u) | np.isnan(v)
+    u[nan_idx] = 0
+    v[nan_idx] = 0
+    wheel = make_color_wheel()
+    ncols = wheel.shape[0]
+    rad = np.sqrt(u ** 2 + v ** 2)
+    a = np.arctan2(-v, -u) / np.pi
+    fk = (a + 1) / 2 * (ncols - 1) + 1
+    k0 = np.floor(fk).astype(int)
+    k1 = k0 + 1
+    k1[k1 == ncols + 1] = 1
+    f = fk - k0
+    col0 = wheel[k0 - 1] / 255.0          # [H, W, 3]
+    col1 = wheel[k1 - 1] / 255.0
+    col = (1 - f[..., None]) * col0 + f[..., None] * col1
+    small = (rad <= 1)[..., None]
+    col = np.where(small, 1 - rad[..., None] * (1 - col), col * 0.75)
+    return np.floor(255 * col * (1 - nan_idx[..., None])).astype(np.uint8) \
+        .astype(np.float64)
+
+
+def flow_to_image(flow: np.ndarray) -> np.ndarray:
+    """[B, H, W, 2] flow -> [B, H, W, 3] color image, normalized by the
+    batch max radius (ref: tools.py:270-296)."""
+    flow = np.array(flow, dtype=np.float64)
+    u = flow[..., 0]
+    v = flow[..., 1]
+    unknown = (np.abs(u) > 1e7) | (np.abs(v) > 1e7)
+    u[unknown] = 0
+    v[unknown] = 0
+    maxrad = max(np.sqrt(u ** 2 + v ** 2).max(), -1)
+    u = u / (maxrad + np.finfo(float).eps)
+    v = v / (maxrad + np.finfo(float).eps)
+    out = [compute_color(u[i], v[i]) for i in range(flow.shape[0])]
+    return np.float32(np.uint8(out))
+
+
+def highlight_flow(flow: np.ndarray) -> np.ndarray:
+    """Mark integer flow endpoints on a gray canvas
+    (ref: tools.py:336-351, incl. its square-loop quirk of iterating
+    w over shape[1])."""
+    s = flow.shape
+    out = []
+    for i in range(s[0]):
+        img = np.ones((s[1], s[2], 3)) * 144.0
+        u = flow[i, :, :, 0]
+        v = flow[i, :, :, 1]
+        for h in range(s[1]):
+            for w in range(s[1]):
+                img[int(u[h, w]), int(v[h, w]), :] = 255.0
+        out.append(img)
+    return np.float32(np.uint8(out))
+
+
+def deprocess(img: jnp.ndarray) -> jnp.ndarray:
+    """[-1,1] -> [0,1] (ref: tools.py:502-504)."""
+    return (img + 1.0) / 2.0
+
+
+def get_model_list(dirname: str, key: str, iteration: int = 0):
+    """Latest (or specific-iteration) .pt-style checkpoint path under a
+    directory (ref: tools.py:514-527)."""
+    import os
+    if not os.path.exists(dirname):
+        return None
+    models = sorted(
+        os.path.join(dirname, f) for f in os.listdir(dirname)
+        if os.path.isfile(os.path.join(dirname, f)) and key in f
+        and ".pt" in f)
+    if not models:
+        return None
+    if iteration == 0:
+        return models[-1]
+    for model in models:
+        if f"{iteration:08d}" in model:
+            return model
+    return None

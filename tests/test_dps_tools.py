@@ -181,3 +181,52 @@ def test_center_crop_matches_reference(reference_path):
                                   ref.center_crop(img, 6, 5))
     np.testing.assert_array_equal(dt.center_crop(img),
                                   ref.center_crop(img))
+
+
+def test_flow_visualization_matches_reference(reference_path):
+    from condition.dps_utils import tools as ref
+    from kdip_tpu.ops import dps_tools as dt
+
+    np.testing.assert_array_equal(dt.make_color_wheel(),
+                                  ref.make_color_wheel())
+
+    rng = np.random.RandomState(0)
+    flow = rng.randn(2, 8, 8, 2) * 3
+    got = dt.flow_to_image(flow.copy())
+    want = ref.flow_to_image(flow.copy())
+    np.testing.assert_array_equal(got, want)
+
+    iflow = rng.randint(0, 8, (1, 8, 8, 2))
+    np.testing.assert_array_equal(dt.highlight_flow(iflow.copy()),
+                                  ref.highlight_flow(iflow.copy()))
+
+
+def test_reducers_match_reference(reference_path):
+    import torch
+    from condition.dps_utils import tools as ref
+    from kdip_tpu.ops import dps_tools as dt
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(3, 4, 5).astype(np.float32)
+    for axes in ([1], [0, 2]):
+        np.testing.assert_allclose(
+            np.asarray(dt.reduce_mean(jnp.asarray(x), axes, True)),
+            ref.reduce_mean(torch.tensor(x), axes, True).numpy(), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(dt.reduce_sum(jnp.asarray(x), axes, True)),
+            ref.reduce_sum(torch.tensor(x), axes, True).numpy(), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(dt.reduce_std(jnp.asarray(x), axes, True)),
+            ref.reduce_std(torch.tensor(x), axes, True).numpy(), atol=1e-5)
+
+
+def test_get_model_list(tmp_path):
+    from kdip_tpu.ops import dps_tools as dt
+
+    assert dt.get_model_list(str(tmp_path / "nope"), "gen") is None
+    (tmp_path / "gen_00000010.pt").write_bytes(b"")
+    (tmp_path / "gen_00000020.pt").write_bytes(b"")
+    (tmp_path / "other.txt").write_bytes(b"")
+    assert dt.get_model_list(str(tmp_path), "gen").endswith("gen_00000020.pt")
+    assert dt.get_model_list(str(tmp_path), "gen", 10).endswith(
+        "gen_00000010.pt")
