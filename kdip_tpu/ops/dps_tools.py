@@ -479,3 +479,23 @@ def get_model_list(dirname: str, key: str, iteration: int = 0):
         if f"{iteration:08d}" in model:
             return model
     return None
+
+
+def find_nearest(array, value) -> int:
+    """Index of the nearest entry (ref: utils_model.py:202-205)."""
+    array = np.asarray(array)
+    return int(np.abs(array - value).argmin())
+
+
+def grad_and_value(operator_fn, x_hat_fn, x, measurement):
+    """DPS likelihood gradient: d/dx ||y - A(x_hat(x))|| and the norm itself
+    (ref: utils_model.py:390-395, torch.autograd.grad on the norm) — as one
+    jax.value_and_grad call so the forward is shared."""
+    import jax
+
+    def norm_fn(xx):
+        diff = measurement - operator_fn(x_hat_fn(xx))
+        return jnp.linalg.norm(diff.ravel())
+
+    norm, grad = jax.value_and_grad(norm_fn)(x)
+    return grad, norm

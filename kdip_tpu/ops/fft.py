@@ -13,6 +13,8 @@ broadcastable [..., H, W, 1]) complex64 applied over axes (-3, -2).
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -151,3 +153,46 @@ def data_solution(x: jnp.ndarray, FB, FBC, F2B, FBFy, alpha, sf: int) -> jnp.nda
     FCBinvWBR = FBC[..., :, :, None] * jnp.tile(invWBR, (1, sf, sf, 1))
     FX = (FR - FCBinvWBR) / alpha
     return ifft2(FX).real
+
+
+def classical_degradation(x: jnp.ndarray, k: np.ndarray,
+                          sf: int = 3) -> jnp.ndarray:
+    """Classical SR degradation: circular (wrap) blur + s-fold subsampling
+    (ref: utils_sisr.py:99-113, which uses scipy.ndimage.convolve(mode=
+    'wrap')). Wrap convolution IS circular convolution, so on TPU we do it
+    in the Fourier domain via the existing psf->otf path instead of a host
+    scipy call. x: [H, W, C]; k: [h, w]."""
+    # psf_to_otf's corner placement + roll by -(size//2) reproduces
+    # ndimage.convolve's kernel centering exactly, for both odd and even
+    # kernel sizes (validated against scipy in tests).
+    otf = psf_to_otf(jnp.asarray(np.asarray(k)), x.shape[:2])
+    blurred = jnp.real(jnp.fft.ifft2(
+        jnp.fft.fft2(x, axes=(0, 1)) * otf[..., None], axes=(0, 1)))
+    return blurred[::sf, ::sf, ...]
+
+
+def shift_pixel(x: np.ndarray, sf: int, upper_left: bool = True) -> np.ndarray:
+    """Half-pixel-grid shift used to align bicubic SR kernels
+    (ref: utils_sisr.py:117-143). The reference uses scipy's removed
+    interp2d(kind='linear'); this is the same bilinear resample on the
+    shifted grid, done with direct axis-wise linear interpolation."""
+    x = np.array(x, dtype=np.float64)
+    h, w = x.shape[:2]
+    shift = (sf - 1) * 0.5
+    xv = np.arange(w, dtype=np.float64)
+    yv = np.arange(h, dtype=np.float64)
+    x1 = np.clip(xv + (shift if upper_left else -shift), 0, w - 1)
+    y1 = np.clip(yv + (shift if upper_left else -shift), 0, h - 1)
+
+    def interp_axis(arr, coords, axis):
+        i0 = np.floor(coords).astype(int)
+        i1 = np.minimum(i0 + 1, arr.shape[axis] - 1)
+        t = coords - i0
+        a0 = np.take(arr, i0, axis=axis)
+        a1 = np.take(arr, i1, axis=axis)
+        tshape = [1] * arr.ndim
+        tshape[axis] = len(coords)
+        return a0 + (a1 - a0) * t.reshape(tshape)
+
+    out = interp_axis(interp_axis(x, y1, 0), x1, 1)
+    return out

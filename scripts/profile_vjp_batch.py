@@ -85,6 +85,27 @@ def main():
 
             def step(x):
                 return jax.lax.map(one, x)
+        elif variant.startswith("vjp_map_remat"):
+            # per-sample vjp with rematerialization: trade HBM reads of
+            # saved activations for recompute FLOPs (fwd is ~85% of the HBM
+            # roofline but only ~30% of the bf16 compute roofline, so
+            # recompute is near-free if it kills activation traffic)
+            policy = {
+                "vjp_map_remat": None,  # save nothing, recompute all
+                "vjp_map_remat_dots": jax.checkpoint_policies.dots_saveable,
+                "vjp_map_remat_nobatch":
+                    jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+            }[variant]
+            ck = (jax.checkpoint(apply) if policy is None
+                  else jax.checkpoint(apply, policy=policy))
+
+            def one(xi):
+                out, vjp = jax.vjp(ck, xi[None])
+                (gx,) = vjp(jnp.ones_like(out))
+                return gx[0]
+
+            def step(x):
+                return jax.lax.map(one, x)
         else:
             raise ValueError(variant)
         return step

@@ -31,10 +31,16 @@ def has_reference():
 
 
 def _stub_module(name, **attrs):
-    """Registers an empty placeholder module so reference imports resolve."""
+    """Registers an empty placeholder module so reference imports resolve.
+
+    Gives the stub a real ModuleSpec: importlib.util.find_spec(name) (used
+    e.g. by transformers' optional-dependency probing for torchvision)
+    raises `ValueError: __spec__ is None` on spec-less modules otherwise."""
     if name in sys.modules:
         return sys.modules[name]
+    import importlib.machinery
     mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
