@@ -216,28 +216,41 @@ def learned_range_variance(tables: DiffusionTables, model_var_values, t):
 
 
 def p_mean_variance(tables: DiffusionTables, model_output, x, t, clip_denoised: bool = True,
-                    learn_sigma: bool = True):
-    """p(x_{t-1} | x_t) stats from raw eps-model output
-    (ref: gaussian_diffusion.py:232-326, EPSILON mean type, LEARNED_RANGE var).
+                    learn_sigma: bool = True, predict_xstart: bool = False,
+                    sigma_small: bool = False):
+    """p(x_{t-1} | x_t) stats from raw model output
+    (ref: gaussian_diffusion.py:232-326).
 
     `model_output`: raw UNet output; with `learn_sigma` its channel dim is 2C
-    (eps concat var values). Channels-last (NHWC) layout. `t` is the respaced
-    integer timestep index [B] — the timestep_map remapping for the model call
-    itself (respace.py:116-128) is handled by the model adapter.
+    (eps/x0 concat var values -> LEARNED_RANGE). Without it, the variance is
+    FIXED_LARGE, or FIXED_SMALL with `sigma_small`
+    (ref: gaussian_diffusion.py:75-86 ModelVarType). `predict_xstart` switches
+    the mean head from EPSILON to START_X (ref: ModelMeanType:65-71).
+    Channels-last (NHWC) layout. `t` is the respaced integer timestep index
+    [B] — the timestep_map remapping for the model call itself
+    (respace.py:116-128) is handled by the model adapter.
     Returns dict(mean, variance, log_variance, pred_xstart).
     """
+    nd = x.ndim
     if learn_sigma:
         C = x.shape[-1]
-        eps, model_var_values = model_output[..., :C], model_output[..., C:]
+        head, model_var_values = model_output[..., :C], model_output[..., C:]
         model_variance, model_log_variance = learned_range_variance(tables, model_var_values, t)
+    elif sigma_small:
+        head = model_output
+        # FIXED_SMALL (ref: gaussian_diffusion.py:292-295)
+        model_variance = extract(tables.posterior_variance, t, nd)
+        model_log_variance = extract(tables.posterior_log_variance_clipped, t, nd)
     else:
-        eps = model_output
-        nd = x.ndim
+        head = model_output
         # FIXED_LARGE (ref: gaussian_diffusion.py:278-291)
         fl = jnp.concatenate([tables.posterior_variance[1:2], tables.betas[1:]])
         model_variance = extract(fl, t, nd)
         model_log_variance = jnp.log(model_variance)
-    pred_xstart = predict_xstart_from_eps(tables, x, t, eps)
+    if predict_xstart:
+        pred_xstart = head
+    else:
+        pred_xstart = predict_xstart_from_eps(tables, x, t, head)
     if clip_denoised:
         pred_xstart = jnp.clip(pred_xstart, -1, 1)
     model_mean, _, _ = q_posterior_mean_variance(tables, pred_xstart, x, t)

@@ -68,10 +68,16 @@ class GuidanceConfig:
     cg_precondition: bool = False
     # autoI probe count for the stochastic trace term
     num_probes: int = 8
-    # Rematerialize the denoiser in guidance VJPs (numerically identical;
-    # ~2.5% faster on v5e where the backward is bandwidth-bound — see
-    # _moments_and_vjp). Disable to save compile time on CPU runs.
-    remat_vjp: bool = True
+    # Rematerialize the denoiser in guidance VJPs (numerically identical).
+    # On v5e the *isolated* per-sample vjp is ~2.5% faster with full remat
+    # (scripts/profile_vjp_batch.py: 11.92 vs 12.22 ms/sample), but in the
+    # full guided sampler the vjp is consumed inside the solver's lax.cond
+    # branches and remat measurably HURTS end-to-end throughput
+    # (bench.py: 0.646 vs 0.912 samples/s) — each branch carries its own
+    # recompute graph and the scheduler loses the overlap it had with saved
+    # activations. Default OFF; the knob exists for workloads whose vjp is
+    # consumed once outside control flow.
+    remat_vjp: bool = False
 
 
 def mle_var(sigma):
@@ -352,11 +358,7 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
     def _moments_and_vjp(x, sigma):
         pred = lambda xx: uncond_pred(params, xx, sigma)
         if cfg.remat_vjp:
-            # Full rematerialization of the UNet in the backward pass: the
-            # forward is HBM-bandwidth-bound (~85% of roofline) but only
-            # ~30% of bf16 compute, so recomputing instead of re-reading
-            # saved activations is measurably faster on v5e
-            # (scripts/profile_vjp_batch.py: 11.92 vs 12.22 ms/sample).
+            # See GuidanceConfig.remat_vjp for the measured tradeoff.
             pred = jax.checkpoint(pred)
         (x0_mean, aux), vjp_fn = jax.vjp(pred, x)
         # vjp_fn takes cotangents for (x0_mean, aux); zero the aux cotangent.
