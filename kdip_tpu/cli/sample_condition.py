@@ -89,6 +89,8 @@ def build_argparser():
 
 
 def main(argv=None):
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

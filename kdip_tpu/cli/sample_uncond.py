@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

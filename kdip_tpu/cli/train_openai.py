@@ -51,6 +51,8 @@ def _save_preview(model, ema_params, tables, size, model_config, args, step):
 
 
 def main(argv=None):
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import optax

@@ -254,3 +254,23 @@ class CSVLogger:
 
     def write(self, *args):
         print(*args, sep=",", file=self.file, flush=True)
+
+
+def enable_compilation_cache(path: str = None) -> str:
+    """Persistent XLA compilation cache.
+
+    TPU compiles of the 256px guided-sampler program take 30-400 s; caching
+    them on disk makes every CLI invocation after the first start in
+    seconds. The reference has no equivalent concern (eager torch). Safe to
+    call multiple times. Returns the cache directory used.
+    """
+    import os
+    import jax
+    path = path or os.environ.get(
+        "KDIP_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "kdip_tpu", "xla"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache even modestly sized programs; the default min size skips most
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
