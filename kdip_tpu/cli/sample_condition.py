@@ -16,6 +16,7 @@ reference asserts batch_size == 1).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import time
@@ -47,6 +48,11 @@ def build_argparser():
     p.add_argument("--batch-size", type=int, default=1,
                    help="test images per jitted sampler call (requires -n 1 "
                         "when > 1); the reference asserts batch_size == 1")
+    p.add_argument("--dp", action="store_true",
+                   help="shard the image batch over all visible devices "
+                        "(data-parallel eval — the TPU-mesh equivalent of "
+                        "the reference's accelerate multi-process launch); "
+                        "--batch-size must be a multiple of the device count")
     p.add_argument("--checkpoint", type=str,
                    default="../model_zoo/diffusion_ffhq_10m.pt")
     p.add_argument("--config", type=str, default="configs/test_ffhq.json")
@@ -175,11 +181,28 @@ def main(argv=None):
     batch = args.batch_size
     n_per_call = batch if batch > 1 else args.n
 
+    mesh = None
+    if args.dp:
+        from ..parallel import sharding as sh
+        mesh = sh.make_mesh()
+        n_dev = mesh.devices.size
+        if batch % n_dev:
+            raise SystemExit(f"--dp needs --batch-size divisible by the "
+                             f"device count ({n_dev})")
+        # one (or more) images per device: the batched-conv layout is
+        # per-device batch-k, so disable the single-chip per-sample map
+        scfg = dataclasses.replace(scfg, per_sample_map=False)
+
     sampler = sampling_api.build_posterior_sampler(
         model_apply, tables, operator, gcfg, scfg, recon_mse=recon_mse,
         v2=args.v2, image_size=size[0],
         channels=model_config.get("input_channels", 3))
-    jitted = jax.jit(lambda p, m, k: sampler(p, m, k, n=n_per_call))
+    if mesh is not None:
+        from ..parallel import sharding as sh
+        jitted = sh.make_sharded_sampler(
+            lambda p, m, k: sampler(p, m, k, n=n_per_call), mesh)
+    else:
+        jitted = jax.jit(lambda p, m, k: sampler(p, m, k, n=n_per_call))
 
     lpips_params = None
     if args.lpips_weights:

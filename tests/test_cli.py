@@ -212,3 +212,19 @@ def test_train_cli_smoke(tiny_env):
         "--logdir", logdir])
     assert os.path.exists(os.path.join(logdir, "train_log.csv"))
     assert os.path.exists(os.path.join(logdir, "state_2"))
+
+
+def test_sample_condition_cli_dp_mesh(tiny_env):
+    """--dp shards the image batch over the 8-device CPU mesh and matches
+    the artifacts/metrics contract of the single-device path."""
+    from kdip_tpu.cli import sample_condition
+
+    logdir = str(tiny_env["root"] / "logs_dp")
+    avg = sample_condition.main([
+        "--checkpoint", tiny_env["ckpt"], "--config", tiny_env["config"],
+        "--operator-config", tiny_env["op"], "--logdir", logdir,
+        "--steps", "3", "--guidance", "I", "--xstart-cov-type", "convert",
+        "--cg-maxiter", "20", "--max-images", "2", "--batch-size", "8",
+        "--dp", "--dtype", "float32"])
+    assert np.isfinite(avg["psnr"])
+    assert os.path.exists(os.path.join(logdir, "avg_metrics.yaml"))
