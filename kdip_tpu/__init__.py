@@ -13,7 +13,8 @@ vjp-based guidance, FFT operators in XLA, and mesh sharding for scale-out.
 from . import (autoi, brownian, ckpt, config, data, ddpm_sampling,  # noqa: F401
                diffusion, evaluation, gns, guidance, logger, metrics,
                operators, precond, profiling, resample, samplers,
-               sampling_api, schedules, train, train_loop, utils)
+               sampling_api, schedules, script_util, tfevents, train,
+               train_loop, utils)
 from . import models, ops, parallel  # noqa: F401
 
 __version__ = "0.1.0"

@@ -273,3 +273,17 @@ def convert_x0_var(tables: DiffusionTables, model_variance, t):
     pv = extract(tables.posterior_variance, t, nd)
     c1 = extract(tables.posterior_mean_coef1, t, nd)
     return jnp.clip((model_variance - pv) / c1 ** 2, min=1e-6)
+
+
+def model_timesteps(tables: DiffusionTables, t, rescale_timesteps: bool = False,
+                    original_num_steps: int = 1000):
+    """The timestep values to feed the model for respaced chain index `t`:
+    timestep_map remapping (ref: respace.py:116-128 _WrappedModel) plus the
+    optional float rescale to the 0..1000 range
+    (ref: gaussian_diffusion.py:351-354 _scale_timesteps)."""
+    t = jnp.asarray(t)
+    if tables.timestep_map is not None:
+        t = tables.timestep_map[t.astype(jnp.int32)]
+    if rescale_timesteps:
+        return t.astype(jnp.float32) * (1000.0 / original_num_steps)
+    return t.astype(jnp.float32)

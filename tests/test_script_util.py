@@ -112,3 +112,32 @@ def test_argparse_bridges(reference_path):
         assert script_util.str2bool(s) == ref.str2bool(s)
     with pytest.raises(argparse.ArgumentTypeError):
         script_util.str2bool("maybe")
+
+
+def test_model_timesteps_matches_wrapped_model(reference_path):
+    import torch
+    from guided_diffusion.respace import _WrappedModel
+
+    tables = diffusion.make_diffusion(1000, "linear",
+                                      timestep_respacing="ddim25")
+    seen = {}
+
+    def capture(x, ts):
+        seen["ts"] = ts
+        return x
+
+    wm = _WrappedModel(capture, np.asarray(tables.timestep_map).tolist(),
+                       rescale_timesteps=True, original_num_steps=1000)
+    t = np.array([0, 7, 24])
+    wm(torch.zeros(3, 1), torch.tensor(t))
+    got = np.asarray(diffusion.model_timesteps(tables, jnp.asarray(t),
+                                               rescale_timesteps=True,
+                                               original_num_steps=1000))
+    np.testing.assert_allclose(got, seen["ts"].numpy(), atol=1e-6)
+
+    wm = _WrappedModel(capture, np.asarray(tables.timestep_map).tolist(),
+                       rescale_timesteps=False, original_num_steps=1000)
+    wm(torch.zeros(3, 1), torch.tensor(t))
+    got = np.asarray(diffusion.model_timesteps(tables, jnp.asarray(t)))
+    np.testing.assert_allclose(got, seen["ts"].numpy().astype(np.float32),
+                               atol=1e-6)
