@@ -1,1 +1,1 @@
-from . import sharding  # noqa: F401
+from . import dist, sharding  # noqa: F401

@@ -79,3 +79,28 @@ def test_fsdp_spec_picks_largest_divisible_dim():
     spec = sh.fsdp_spec(np.zeros((3, 3, 32, 64)), 4)
     assert spec == P(None, None, None, "fsdp")
     assert sh.fsdp_spec(np.zeros((5,)), 4) == P()
+
+
+def test_dist_helpers_single_process(tmp_path):
+    """dist.py degrades to local behavior at process_count()==1
+    (the multi-process path is exercised on pods; same code path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kdip_tpu.parallel import dist
+
+    dist.setup_dist()  # no env -> no-op
+    assert dist.dev() in jax.devices()
+
+    params = {"w": jnp.ones((2, 2)), "b": jnp.zeros((3,))}
+    synced = dist.sync_params(params)
+    np.testing.assert_array_equal(np.asarray(synced["w"]),
+                                  np.asarray(params["w"]))
+
+    import numpy as onp
+    p = tmp_path / "ckpt.npz"
+    onp.savez(p, **{"w": onp.arange(4.0)})
+    loaded = dist.load_state_dict(str(p),
+                                  convert=lambda path: dict(onp.load(path)))
+    np.testing.assert_array_equal(loaded["w"], onp.arange(4.0))
