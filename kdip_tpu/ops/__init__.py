@@ -1,2 +1,2 @@
-from . import (deblur, fft, image_utils, inpaint, kernels,  # noqa: F401
-               resize)
+from . import (deblur, dps_tools, fft, image_utils, inpaint,  # noqa: F401
+               kernels, resize, tiling, transforms)
