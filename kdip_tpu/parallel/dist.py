@@ -57,36 +57,57 @@ def dev():
     return jax.devices()[0]
 
 
-def load_state_dict(path: str, convert=None) -> Any:
-    """Load a checkpoint so that only process 0 touches storage, then
-    broadcast the pytree to every process (ref: dist_util.py:54-74).
+def _broadcast_bytes(data: Optional[bytes]) -> bytes:
+    """Broadcast a byte blob from process 0 (the JAX equivalent of the
+    reference's chunked MPI bcast, dist_util.py:58-73): first the length,
+    then a uint8 array of that (now-agreed) shape."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+    n = np.asarray(len(data) if data is not None else 0, dtype=np.int64)
+    n = int(multihost_utils.broadcast_one_to_all(n))
+    buf = (np.frombuffer(data, dtype=np.uint8) if data is not None
+           else np.zeros((n,), dtype=np.uint8))
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return bytes(np.asarray(out))
 
-    `convert` optionally maps the raw loaded object (e.g. a torch state
-    dict) to a jnp pytree before broadcasting; by default uses
-    ckpt.load_checkpoint semantics for .npz/orbax and torch->flax
-    conversion for .pt files.
+
+def load_state_dict(path: str, convert=None, parse=None) -> Any:
+    """Load a checkpoint so that only process 0 touches storage, then
+    broadcast the raw bytes and parse locally on every process
+    (ref: dist_util.py:54-74).
+
+    `parse(file_like)` overrides how the broadcast bytes are decoded; by
+    default .pt/.ckpt go through torch.load + the ADM state-dict
+    converter and .npz through numpy. `convert(path)` short-circuits the
+    whole byte path with a per-process load (use for orbax *directories*,
+    which cannot be byte-broadcast; they live on shared storage anyway).
     """
+    import io
+
     from .. import ckpt
 
-    def _load():
-        if convert is not None:
-            return convert(path)
+    def _parse(f):
+        if parse is not None:
+            return parse(f)
         if path.endswith(".pt") or path.endswith(".ckpt"):
-            return ckpt.convert_adm_state_dict(
-                ckpt.load_torch_checkpoint(path))
-        return ckpt.load_checkpoint(path)
+            import torch
+            sd = torch.load(f, map_location="cpu", weights_only=True)
+            if path.endswith(".ckpt") and "state_dict" in sd:
+                sd = sd["state_dict"]
+            return ckpt.convert_adm_state_dict(sd)
+        import numpy as np
+        return dict(np.load(f, allow_pickle=True))
 
+    if convert is not None:
+        return convert(path)
     if jax.process_count() == 1:
-        return _load()
-    from jax.experimental import multihost_utils
+        with open(path, "rb") as f:
+            return _parse(f)
+    data = None
     if jax.process_index() == 0:
-        tree = _load()
-    else:
-        # all processes must call broadcast with a matching structure;
-        # process 0's tree defines it, so non-zero ranks load lazily from
-        # the (shared-filesystem) path only if needed for structure.
-        tree = _load()
-    return multihost_utils.broadcast_one_to_all(tree)
+        with open(path, "rb") as f:
+            data = f.read()
+    return _parse(io.BytesIO(_broadcast_bytes(data)))
 
 
 def sync_params(params: Any) -> Any:

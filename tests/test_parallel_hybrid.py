@@ -81,7 +81,7 @@ def test_fsdp_spec_picks_largest_divisible_dim():
     assert sh.fsdp_spec(np.zeros((5,)), 4) == P()
 
 
-def test_dist_helpers_single_process(tmp_path):
+def test_dist_helpers_single_process(tmp_path, reference_path):
     """dist.py degrades to local behavior at process_count()==1
     (the multi-process path is exercised on pods; same code path)."""
     import jax
@@ -101,6 +101,22 @@ def test_dist_helpers_single_process(tmp_path):
     import numpy as onp
     p = tmp_path / "ckpt.npz"
     onp.savez(p, **{"w": onp.arange(4.0)})
-    loaded = dist.load_state_dict(str(p),
-                                  convert=lambda path: dict(onp.load(path)))
+    loaded = dist.load_state_dict(str(p))
     np.testing.assert_array_equal(loaded["w"], onp.arange(4.0))
+    # the byte-broadcast helper is the single-source-of-truth path on pods;
+    # at process_count()==1 it must be the identity
+    assert dist._broadcast_bytes(b"hello") == b"hello"
+
+    # torch checkpoints parse through the ADM converter
+    import torch
+    from guided_diffusion.unet import UNetModel
+    torch.manual_seed(0)
+    unet = UNetModel(image_size=16, in_channels=3, model_channels=32,
+                     out_channels=6, num_res_blocks=1,
+                     attention_resolutions={2}, dropout=0.0,
+                     channel_mult=(1, 2), num_heads=4, num_head_channels=16,
+                     use_scale_shift_norm=True, resblock_updown=True)
+    pt = tmp_path / "m.pt"
+    torch.save(unet.state_dict(), pt)
+    params = dist.load_state_dict(str(pt))
+    assert "time_embed_0" in params or len(params) > 0
