@@ -66,6 +66,10 @@ class GuidanceConfig:
     # unpreconditioned scipy CG; opt in per-run when the covariance is known
     # to be near-isotropic.
     cg_precondition: bool = False
+    # Print a device-side warning when a CG solve exits above tolerance
+    # (the reference's scipy warning, condition.py:344-345). Costs one
+    # extra matvec + host callback per solve; off by default.
+    cg_warn: bool = False
     # autoI probe count for the stochastic trace term
     num_probes: int = 8
     # Rematerialize the denoiser in guidance VJPs (numerically identical).
@@ -179,6 +183,19 @@ def make_openai_v2_uncond(model_apply: Callable, tables: diff.DiffusionTables,
 def _cg(matvec, b, cfg: GuidanceConfig, M=None):
     x, _ = jax_cg(matvec, b, tol=cfg.cg_tol, maxiter=cfg.cg_maxiter,
                   M=M if cfg.cg_precondition else None)
+    if cfg.cg_warn:
+        # the reference warns when scipy CG exits without converging
+        # (condition.py:344-345); under jit we check the residual with one
+        # extra matvec and print from the device. Off by default (adds a
+        # matvec + host print per solve).
+        res = jnp.linalg.norm((b - matvec(x)).ravel())
+        ref = jnp.linalg.norm(b.ravel())
+        jax.lax.cond(
+            res > cfg.cg_tol * ref,
+            lambda: jax.debug.print(
+                "CG did not converge in {m} iters: |r|/|b| = {r}",
+                m=cfg.cg_maxiter, r=res / ref),
+            lambda: None)
     return x
 
 

@@ -64,3 +64,27 @@ def test_deblur_mat_wide_variance_matches_dense():
     scale = np.abs(ref).max()
     np.testing.assert_allclose(np.asarray(mat) / scale, ref / scale,
                                atol=2e-3)
+
+
+def test_cg_warn_fires_on_truncated_solve(capfd):
+    """cg_warn prints the reference-style non-convergence warning
+    (ref: condition.py:344-345) when maxiter is too small, and stays
+    silent when the solve converges."""
+    import jax
+    import jax.numpy as jnp
+
+    from kdip_tpu import guidance
+
+    # An ill-conditioned diagonal system that cannot converge in 2 iters
+    diag = jnp.concatenate([jnp.ones(50) * 1e-3, jnp.ones(50) * 1e3])
+    b = jnp.ones(100)
+
+    cfg = guidance.GuidanceConfig(cg_maxiter=2, cg_tol=1e-6, cg_warn=True)
+    jax.block_until_ready(guidance._cg(lambda v: diag * v, b, cfg))
+    out = capfd.readouterr()
+    assert "CG did not converge" in out.out + out.err
+
+    cfg = guidance.GuidanceConfig(cg_maxiter=500, cg_tol=1e-6, cg_warn=True)
+    jax.block_until_ready(guidance._cg(lambda v: diag * v, b, cfg))
+    out = capfd.readouterr()
+    assert "CG did not converge" not in out.out + out.err
