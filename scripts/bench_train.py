@@ -61,12 +61,14 @@ def main():
         state = train.create_train_state(params, optimizer)
         batch = jax.random.normal(jax.random.key(1), (b, size, size, 3))
         state, m = step_fn(state, batch, jax.random.key(2), 0.999)
-        jax.block_until_ready(m["loss"])  # compile + warmup
+        jax.block_until_ready(state)  # compile + warmup
         t0 = time.time()
         for i in range(args.iters):
             state, m = step_fn(state, batch, jax.random.key(3 + i), 0.999)
-        jax.block_until_ready(m["loss"])
+        jax.block_until_ready(state)  # wait for the full update chain
         dt = (time.time() - t0) / args.iters
+        assert bool(jnp.isfinite(m["loss"])), "non-finite loss"
+
         print(json.dumps({
             "workload": f"dwt-var fine-tune step, {size}px, "
                         f"{n_par/1e6:.1f}M params, bf16",
