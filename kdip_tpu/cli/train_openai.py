@@ -71,6 +71,13 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=12)
     p.add_argument("--accum", type=int, default=1,
                    help="gradient accumulation steps")
+    p.add_argument("--per-sample-map", dest="per_sample_map",
+                   action="store_true", default=True,
+                   help="per-example gradient scan (batch-1 conv layout; "
+                        "1.74x faster than batched grads for the 256px ADM "
+                        "fine-tune on v5e, identical updates — RESULTS.md)")
+    p.add_argument("--no-per-sample-map", dest="per_sample_map",
+                   action="store_false")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--max-steps", type=int, default=10000)
     p.add_argument("--save-every", type=int, default=1000)
@@ -116,11 +123,15 @@ def main(argv=None):
     if args.accum > 1:
         optimizer = optax.MultiSteps(optimizer, args.accum)
     state = train.create_train_state(params, optimizer)
-    step_fn = jax.jit(train.make_train_step(loss_fn, optimizer, density))
 
     n_dev = len(jax.devices())
     while args.batch_size % n_dev:
         n_dev -= 1
+    # per-sample-map scans over the (global) batch axis — only a win on a
+    # single device; under the dp mesh the scan would serialize the shards
+    psm = args.per_sample_map and args.batch_size > 1 and n_dev == 1
+    step_fn = jax.jit(train.make_train_step(
+        loss_fn, optimizer, density, per_sample_map=psm))
     mesh = sh.make_mesh(n_dev)
     state = sh.replicate(state, mesh)
 

@@ -107,12 +107,17 @@ def create_train_state(params, optimizer: optax.GradientTransformation) -> Train
 
 
 def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
-                    sample_density: Callable):
+                    sample_density: Callable, per_sample_map: bool = False):
     """Builds step(state, batch, key, ema_decay) -> (state, metrics).
 
     loss_fn(params, x0, noise, sigma) -> per-example loss [B]. The returned
     step is pure/jittable; under a dp mesh the gradient mean becomes an XLA
     all-reduce (replacing DDP, train_openai.py:69-74).
+
+    per_sample_map computes gradients as a lax.map of single-example
+    value_and_grads, averaged — the batch-1 conv layout that wins on v5e
+    for the guided-sampling vjp (RESULTS.md "Batch pathology"); measure per
+    model/batch before enabling.
     """
     def step(state: TrainState, batch, key, ema_decay):
         k_sigma, k_noise = jax.random.split(key)
@@ -122,7 +127,24 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
         def mean_loss(params):
             return jnp.mean(loss_fn(params, batch, noise, sigma))
 
-        loss, grads = jax.value_and_grad(mean_loss)(state.params)
+        if per_sample_map and batch.shape[0] > 1:
+            # scan-with-accumulation rather than lax.map: avoids holding
+            # B full gradient pytrees (~374 MB each for the 256px model)
+            b = batch.shape[0]
+
+            def body(carry, args):
+                loss_acc, grad_acc = carry
+                x1, n1, s1 = args
+                li, gi = jax.value_and_grad(lambda p: jnp.mean(
+                    loss_fn(p, x1[None], n1[None], s1[None])))(state.params)
+                return (loss_acc + li / b,
+                        jax.tree.map(lambda a, g: a + g / b, grad_acc, gi)), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (loss, grads), _ = jax.lax.scan(
+                body, (jnp.zeros(()), zeros), (batch, noise, sigma))
+        else:
+            loss, grads = jax.value_and_grad(mean_loss)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema_params = ema_update(state.ema_params, params, ema_decay)

@@ -29,6 +29,7 @@ def main():
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4])
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--per-sample-map", action="store_true")
     args = p.parse_args()
 
     from kdip_tpu import diffusion, train, utils
@@ -54,7 +55,8 @@ def main():
     optimizer = optax.adam(1e-5)
     density = lambda key, shape: jnp.exp(
         jax.random.normal(key, shape) * 1.2 - 1.2)
-    step_fn = jax.jit(train.make_train_step(loss_fn, optimizer, density),
+    step_fn = jax.jit(train.make_train_step(loss_fn, optimizer, density,
+                                            per_sample_map=args.per_sample_map),
                       donate_argnums=(0,))
 
     for b in args.batches:
@@ -71,7 +73,8 @@ def main():
 
         print(json.dumps({
             "workload": f"dwt-var fine-tune step, {size}px, "
-                        f"{n_par/1e6:.1f}M params, bf16",
+                        f"{n_par/1e6:.1f}M params, bf16"
+                        + (", per-sample-map" if args.per_sample_map else ""),
             "batch": b, "ms_per_step": round(dt * 1e3, 2),
             "images_per_sec": round(b / dt, 3),
         }), flush=True)

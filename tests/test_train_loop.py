@@ -104,3 +104,35 @@ def test_training_test_env_short_circuit(tiny_setup, tmp_path, monkeypatch):
                          resume=False)
         loop.run_loop(max_steps=10)
     assert loop.step == 1
+
+
+def test_per_sample_map_grads_match_batched():
+    """make_train_step(per_sample_map=True) — the batch-1 conv layout for
+    training — must produce the same update as the batched gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from kdip_tpu import train
+
+    def loss_fn(p, x0, noise, sigma):
+        pred = x0 * p["w"] + noise * jnp.exp(p["b"])
+        return jnp.mean((pred - x0) ** 2 * sigma[:, None, None, None],
+                        axis=(1, 2, 3))
+
+    params = {"w": jnp.ones(()) * 0.7, "b": jnp.zeros(())}
+    opt = optax.sgd(0.1)
+    density = lambda k, s: jnp.exp(jax.random.normal(k, s) * 0.3)
+    outs = {}
+    for psm in (False, True):
+        step = jax.jit(train.make_train_step(loss_fn, opt, density,
+                                             per_sample_map=psm))
+        st = train.create_train_state(params, opt)
+        batch = jax.random.normal(jax.random.key(0), (4, 8, 8, 3))
+        st, m = step(st, batch, jax.random.key(1), 0.99)
+        outs[psm] = (float(m["loss"]), np.asarray(st.params["w"]),
+                     np.asarray(st.params["b"]))
+    assert outs[False][0] == pytest.approx(outs[True][0], abs=1e-6)
+    np.testing.assert_allclose(outs[False][1], outs[True][1], atol=1e-6)
+    np.testing.assert_allclose(outs[False][2], outs[True][2], atol=1e-6)
