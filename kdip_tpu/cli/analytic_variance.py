@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import os
 
+import jax
 import numpy as np
 
 
@@ -31,6 +32,10 @@ def main(argv=None):
     p.add_argument("--checkpoint", type=str, required=True)
     p.add_argument("--num-sigmas", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--per-sample-map", action="store_true",
+                   help="lax.map of batch-1 forwards (the v5e-friendly conv "
+                        "layout, ~25%% faster per sample at 256px than "
+                        "batched forwards — RESULTS.md batch pathology)")
     p.add_argument("--data-fraction", type=float, default=0.01)
     p.add_argument("--logdir", type=str, default="runs/analytic_variance")
     p.add_argument("--seed", type=int, default=0)
@@ -66,7 +71,10 @@ def main(argv=None):
     batches = batches[:max(1, n_use // args.batch_size)]
 
     out = train.analytic_variance(
-        lambda p, x, s: denoise(p, x, s), batches, sigmas,
+        (lambda p, x, s: jax.lax.map(
+             lambda xi: denoise(p, xi[None], s)[0], x))
+        if args.per_sample_map else
+        (lambda p, x, s: denoise(p, x, s)), batches, sigmas,
         jax.random.key(args.seed), params=params)
 
     os.makedirs(args.logdir, exist_ok=True)

@@ -119,6 +119,16 @@ def test_analytic_variance_cli(tiny_env):
     assert data["sigmas"].shape == (5,)
     assert np.isfinite(data["mse_list"]).all()
 
+    # --per-sample-map must produce the same MC table (same keys/noise)
+    logdir2 = str(tiny_env["root"] / "av_psm")
+    analytic_variance.main([
+        "--config", tiny_env["config"], "--checkpoint", tiny_env["ckpt"],
+        "--num-sigmas", "5", "--batch-size", "2", "--data-fraction", "1.0",
+        "--logdir", logdir2, "--dtype", "float32", "--per-sample-map"])
+    data2 = np.load(os.path.join(logdir2, "recon_mse.npz"))
+    np.testing.assert_allclose(data2["mse_list"], data["mse_list"],
+                               rtol=1e-4)
+
 
 def test_sample_condition_cli_v2(tiny_env):
     """--v2 path: Lightning-style checkpoint (model_ema.inner_model.* +
