@@ -19,7 +19,6 @@ Nothing here sits on the sampling hot path.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
 
 import numpy as np
 
