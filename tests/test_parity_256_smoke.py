@@ -77,3 +77,83 @@ def test_256px_inpainting_convert_one_step(reference_path):
 
     np.testing.assert_allclose(np.asarray(our_out).transpose(0, 3, 1, 2),
                                ref_out.detach().numpy(), atol=5e-4)
+
+
+@pytest.mark.slow
+def test_256px_v2_dct_guidance_one_call(reference_path):
+    """DWT/DCT-Var (V2 learned covariance) path at production scale: one
+    conditioned denoiser call at 256 px with the full FFHQ architecture +
+    a random out_cov head, vs ConditionOpenAIDenoiserV2 (dct ortho basis —
+    the reference's pywt DWT is stubbed in this env; the DWT layout itself
+    is pinned by tests/test_dwt_pywt_layout.py)."""
+    import torch
+    from condition.condition import ConditionOpenAIDenoiserV2
+    from condition.measurements import get_operator as ref_get_operator
+    from guided_diffusion.script_util import (create_model_and_diffusion,
+                                              model_and_diffusion_defaults)
+    from k_diffusion.external import OpenAIDenoiserV2
+
+    torch.manual_seed(0)
+    flags = model_and_diffusion_defaults()
+    flags.update(dict(image_size=SIZE, num_channels=128, num_res_blocks=1,
+                      attention_resolutions="16", dropout=0.0,
+                      learn_sigma=True, num_head_channels=64,
+                      resblock_updown=True, use_scale_shift_norm=True,
+                      diffusion_steps=1000, noise_schedule="linear"))
+    t_unet, diff_ref = create_model_and_diffusion(**flags)
+    t_unet.eval()
+    ref_v2 = OpenAIDenoiserV2(t_unet, diff_ref, device="cpu",
+                              ortho_tf_type="dct")
+    torch.manual_seed(1)
+    torch.nn.init.normal_(ref_v2.out_cov.weight, std=0.05)
+    torch.nn.init.normal_(ref_v2.out_cov.bias, std=0.05)
+    ref_v2 = ref_v2.eval()
+
+    f_v2 = adm.ADMUNetV2(unet=adm.ffhq_unet(dtype=jnp.float32))
+    params = {
+        "unet": ckpt.convert_adm_state_dict(t_unet.state_dict()),
+        "out_cov": ckpt.convert_v2_out_cov(
+            {"out_cov.weight": ref_v2.out_cov.weight.detach(),
+             "out_cov.bias": ref_v2.out_cov.bias.detach()}),
+    }
+    tables = diffusion.make_diffusion(1000, "linear")
+
+    np.random.seed(0)
+    ref_op = ref_get_operator(name="inpainting", device="cpu", sigma_s=0.05,
+                              mask_opt=dict(mask_type="random",
+                                            mask_prob_range=(0.5, 0.5),
+                                            image_size=SIZE))
+    rng = np.random.RandomState(0)
+    x0 = rng.rand(1, 3, SIZE, SIZE).astype(np.float32) * 2 - 1
+    torch.manual_seed(1)
+    ref_meas = ref_op.forward(torch.tensor(x0).clone(), flatten=True)
+    ref_cond = ConditionOpenAIDenoiserV2(
+        denoiser=ref_v2, operator=ref_op, measurement=ref_meas,
+        guidance="I", device="cpu", ortho_tf_type="dct").eval()
+
+    mask = ref_op.mask.numpy()[0].transpose(1, 2, 0)
+    my_op = kops.InpaintingOperator(sigma_s=jnp.float32(0.05),
+                                    mask=jnp.asarray(mask))
+    meas = kops.Measurement(
+        y=jnp.asarray(ref_meas[0].numpy().transpose(0, 2, 3, 1)))
+    cfg = guidance.GuidanceConfig(guidance="I", x0_cov_type="convert",
+                                  ortho_tf_type="dct", cg_maxiter=200)
+
+    def model_apply_v2(p, x_scaled, t):
+        return f_v2.apply({"params": p}, x_scaled,
+                          jnp.broadcast_to(t, (x_scaled.shape[0],)))
+
+    uncond, var_fn = guidance.make_openai_v2_uncond(model_apply_v2, tables,
+                                                    cfg)
+    denoise = guidance.make_condition_denoiser(uncond, var_fn, my_op, meas,
+                                               cfg, params=params, v2=True)
+
+    # sigma below mle_sigma_thres => the learned-covariance CG branch
+    sigma = 0.1
+    x = (rng.randn(1, 3, SIZE, SIZE).astype(np.float32) * sigma
+         + x0).astype(np.float32)
+    ref_out = ref_cond(torch.tensor(x), torch.tensor([sigma]))
+    our_out = denoise(jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      jnp.float32(sigma), jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(our_out).transpose(0, 3, 1, 2),
+                               ref_out.detach().numpy(), atol=8e-3, rtol=2e-2)
