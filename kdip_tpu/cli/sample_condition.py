@@ -219,6 +219,30 @@ def main(argv=None):
         else min(args.max_images, len(test_set))
 
     t_start = time.time()
+    try:
+        _run_images(args, batch, n_images, test_set, operator, jitted, params,
+                    metrics_list, lpips_params, key)
+    except KeyboardInterrupt:
+        # graceful interrupt (ref: sample_condition_openai.py:214-217):
+        # report/ save averages over the images completed so far
+        print(f"interrupted after {len(metrics_list)} images", flush=True)
+    if not metrics_list:
+        return {}
+    avg = metrics.calculate_average_metric(metrics_list)
+    avg["wall_clock_per_image"] = (time.time() - t_start) / max(
+        1, len(metrics_list))
+    print(avg, flush=True)
+    save_yaml(avg, os.path.join(args.logdir, "avg_metrics.yaml"))
+    return avg
+
+
+def _run_images(args, batch, n_images, test_set, operator, jitted, params,
+                metrics_list, lpips_params, key):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import metrics
+
     for start in range(0, n_images, batch):
         idxs = list(range(start, min(start + batch, n_images)))
         x0 = jnp.stack([jnp.asarray(test_set[i][0]) for i in idxs])
@@ -236,8 +260,8 @@ def main(argv=None):
                                             x0[bi:bi + 1], lpips_params)
             else:
                 m = metrics.compute_metrics(hat_x0[:1], x0[:1], lpips_params)
-            print(m, flush=True)
-            metrics_list.append(m)
+            metrics_list.append(m)  # before the print: an interrupt must
+            print(m, flush=True)    # never lose an already-computed image
 
             if args.save_img:
                 to_pil_image(np.asarray(measurement.y[bi])).save(
@@ -248,12 +272,6 @@ def main(argv=None):
                     to_pil_image(np.asarray(samples[j])).save(os.path.join(
                         args.logdir,
                         f"{args.prefix}_img_{i}_hat_x0_sample_{j}.png"))
-
-    avg = metrics.calculate_average_metric(metrics_list)
-    avg["wall_clock_per_image"] = (time.time() - t_start) / max(1, n_images)
-    print(avg, flush=True)
-    save_yaml(avg, os.path.join(args.logdir, "avg_metrics.yaml"))
-    return avg
 
 
 if __name__ == "__main__":

@@ -154,33 +154,46 @@ def main(argv=None):
     key = jax.random.key(args.seed)
     step = 0
     t0 = time.time()
-    while step < args.max_steps:
-        for batch in dataset.batches(args.batch_size, drop_last=True,
-                                     shuffle=True, seed=args.seed + step):
-            if step >= args.max_steps:
-                break
-            aug_imgs, _, _ = augment_batch(aug, batch, seed=step)
-            key, k_step = jax.random.split(key)
-            decay = ema_sched.get_value()
-            state, m = step_fn(state, sh.shard_batch(jnp.asarray(aug_imgs), mesh),
-                               k_step, decay)
-            ema_sched.step()
-            step += 1
-            if step % 50 == 0 or step == 1:
-                loss = float(m["loss"])
-                print(f"step {step}: loss {loss:.4f} ema {decay:.5f}", flush=True)
-                logger.writerow([step, loss, decay, time.time() - t0])
-                log_file.flush()
-                tb.add_scalars(step, [("train/loss", loss),
-                                      ("train/ema_decay", decay)])
-            if args.preview_every and step % args.preview_every == 0:
-                _save_preview(model, state.ema_params, tables, size,
-                              model_config, args, step)
-            if step % args.save_every == 0 or step == args.max_steps:
-                ckpt.save_checkpoint(os.path.join(args.logdir, f"state_{step}"),
-                                     jax.device_get(state.ema_params))
-    log_file.close()
-    tb.close()
+    try:
+        while step < args.max_steps:
+            for batch in dataset.batches(args.batch_size, drop_last=True,
+                                         shuffle=True, seed=args.seed + step):
+                if step >= args.max_steps:
+                    break
+                aug_imgs, _, _ = augment_batch(aug, batch, seed=step)
+                key, k_step = jax.random.split(key)
+                decay = ema_sched.get_value()
+                state, m = step_fn(state,
+                                   sh.shard_batch(jnp.asarray(aug_imgs), mesh),
+                                   k_step, decay)
+                ema_sched.step()
+                step += 1
+                if step % 50 == 0 or step == 1:
+                    loss = float(m["loss"])
+                    print(f"step {step}: loss {loss:.4f} ema {decay:.5f}",
+                          flush=True)
+                    logger.writerow([step, loss, decay, time.time() - t0])
+                    log_file.flush()
+                    tb.add_scalars(step, [("train/loss", loss),
+                                          ("train/ema_decay", decay)])
+                if args.preview_every and step % args.preview_every == 0:
+                    _save_preview(model, state.ema_params, tables, size,
+                                  model_config, args, step)
+                if step % args.save_every == 0 or step == args.max_steps:
+                    ckpt.save_checkpoint(
+                        os.path.join(args.logdir, f"state_{step}"),
+                        jax.device_get(state.ema_params))
+    except KeyboardInterrupt:
+        # graceful interrupt: keep the EMA weights (the reference relies on
+        # Lightning's checkpoint-on-interrupt; every reference entry point
+        # catches KeyboardInterrupt, e.g. sample_condition_openai.py:214-217)
+        print(f"interrupted at step {step} — saving checkpoint", flush=True)
+        if step > 0:
+            ckpt.save_checkpoint(os.path.join(args.logdir, f"state_{step}"),
+                                 jax.device_get(state.ema_params))
+    finally:
+        log_file.close()
+        tb.close()
     print(f"done: {step} steps in {time.time() - t0:.0f}s")
 
 
