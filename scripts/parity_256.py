@@ -159,6 +159,10 @@ def main():
     p.add_argument("--configs", nargs="+", default=list(CONFIGS))
     p.add_argument("--steps", type=int, default=2)
     p.add_argument("--skip-cg-study", action="store_true")
+    p.add_argument("--v2", action="store_true",
+                   help="run the learned-covariance (V2) configs instead of "
+                        "the v1 covariance matrix; merges into --out under "
+                        "'trajectories' with a v2: prefix")
     p.add_argument("--out", default=os.path.join(REPO, "RESULTS_256.json"))
     args = p.parse_args()
 
@@ -185,8 +189,19 @@ def main():
     def model_apply(p_, x, t):
         return f_model.apply({"params": p_}, x, t.astype(jnp.float32))
 
-    results = {"steps": args.steps, "size": SIZE, "trajectories": {},
-               "cg_study": {}}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+        results.setdefault("trajectories", {})
+        results.setdefault("cg_study", {})
+    else:
+        results = {"steps": args.steps, "size": SIZE, "trajectories": {},
+                   "cg_study": {}}
+
+    if args.v2:
+        run_v2(args, t_unet, diff_ref, f_model, params, tables, ops, sigmas,
+               x_init, results)
+        return
 
     for op_name, (ref_op, ref_meas, our_op, our_meas) in ops.items():
         for cfg_name in args.configs:
@@ -272,3 +287,78 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def run_v2(args, t_unet, diff_ref, f_model, params, tables, ops, sigmas,
+           x_init, results):
+    """Learned-covariance (V2) trajectory parity: ConditionOpenAIDenoiserV2
+    with a random out_cov head vs make_openai_v2_uncond, Type I and II in
+    the DCT ortho basis (the reference's pywt DWT is stubbed in this env;
+    the DWT layout itself is pinned by tests/test_dwt_pywt_layout.py)."""
+    import jax
+    import jax.numpy as jnp
+    from condition.condition import ConditionOpenAIDenoiserV2
+    from k_diffusion.external import OpenAIDenoiserV2
+    from k_diffusion.sampling import sample_euler as ref_sample_euler
+
+    from kdip_tpu import ckpt, guidance, samplers
+    from kdip_tpu.models import adm
+
+    ref_v2 = OpenAIDenoiserV2(t_unet, diff_ref, device="cpu",
+                              ortho_tf_type="dct")
+    torch.manual_seed(1)
+    torch.nn.init.normal_(ref_v2.out_cov.weight, std=0.05)
+    torch.nn.init.normal_(ref_v2.out_cov.bias, std=0.05)
+    ref_v2 = ref_v2.eval()
+
+    f_v2 = adm.ADMUNetV2(unet=f_model)
+    params_v2 = {
+        "unet": params,
+        "out_cov": ckpt.convert_v2_out_cov(
+            {"out_cov.weight": ref_v2.out_cov.weight.detach(),
+             "out_cov.bias": ref_v2.out_cov.bias.detach()}),
+    }
+
+    def model_apply_v2(p_, x_scaled, t):
+        return f_v2.apply({"params": p_}, x_scaled,
+                          jnp.broadcast_to(t, (x_scaled.shape[0],)))
+
+    for op_name, (ref_op, ref_meas, our_op, our_meas) in ops.items():
+        for gname in ("I", "II"):
+            t0 = time.time()
+            ref_cond = ConditionOpenAIDenoiserV2(
+                denoiser=ref_v2, operator=ref_op, measurement=ref_meas,
+                guidance=gname, device="cpu", ortho_tf_type="dct").eval()
+            ref_out = ref_sample_euler(
+                ref_cond, torch.tensor(x_init),
+                torch.tensor(np.asarray(sigmas)), disable=True)
+            t_ref = time.time() - t0
+
+            gcfg = guidance.GuidanceConfig(
+                guidance=gname, x0_cov_type="convert", ortho_tf_type="dct",
+                cg_maxiter=1000)
+            uncond, var_fn = guidance.make_openai_v2_uncond(
+                model_apply_v2, tables, gcfg)
+            denoise = guidance.make_condition_denoiser(
+                uncond, var_fn, our_op, our_meas, gcfg, params=params_v2,
+                v2=True)
+            t0 = time.time()
+            our_out = samplers.sample_euler(
+                lambda x, s, k: denoise(x, s, k),
+                jnp.asarray(x_init.transpose(0, 2, 3, 1)), sigmas,
+                jax.random.key(0))
+            our_np = np.asarray(our_out).transpose(0, 3, 1, 2)
+            t_ours = time.time() - t0
+
+            ref_np = ref_out.detach().numpy()
+            diff = np.abs(our_np - ref_np)
+            mse = float(np.mean((our_np - ref_np) ** 2))
+            psnr = float(10 * np.log10(4.0 / mse)) if mse > 0 else float("inf")
+            rec = {"max_abs": float(diff.max()),
+                   "mean_abs": float(diff.mean()),
+                   "psnr_between": round(psnr, 2),
+                   "ref_sec": round(t_ref, 1), "ours_sec": round(t_ours, 1)}
+            results["trajectories"][f"{op_name}/v2:{gname}:dct"] = rec
+            print(f"{op_name}/v2:{gname}:dct: {rec}", flush=True)
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
