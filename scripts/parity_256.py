@@ -285,8 +285,6 @@ def main():
     print("wrote", args.out)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def run_v2(args, t_unet, diff_ref, f_model, params, tables, ops, sigmas,
@@ -362,3 +360,7 @@ def run_v2(args, t_unet, diff_ref, f_model, params, tables, ops, sigmas,
             print(f"{op_name}/v2:{gname}:dct: {rec}", flush=True)
             with open(args.out, "w") as f:
                 json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
