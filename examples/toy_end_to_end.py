@@ -135,6 +135,28 @@ def main():
                 to_pil_image(out[0]).save(
                     os.path.join(args.logdir, f"{op_name}_{gname}_{cov}.png"))
 
+    # Fewer-NFE configs (capability past the reference's heun/euler-only
+    # guided CLI): Type-I/convert with dpm++(2m) at half the steps, and heun
+    # at half the steps, vs the full-budget heun above.
+    half = max(4, args.sample_steps // 2)
+    sigmas_half = schedules.get_sigmas_karras(half, 0.01, 80.0)
+    cfg = guidance.GuidanceConfig(guidance="I", x0_cov_type="convert",
+                                  cg_maxiter=50)
+    uncond, var_fn = guidance.make_openai_uncond(model_apply, tables, cfg)
+    for op_name, op in operators.items():
+        meas = op.measure(x0, jax.random.key(43))
+        denoise = guidance.make_condition_denoiser(uncond, var_fn, op, meas,
+                                                   cfg, params=params)
+        x_init = jax.random.normal(jax.random.key(7),
+                                   (1, SIZE, SIZE, 3)) * 80.0
+        for sname, fn in (("dpmpp_2m", samplers.sample_dpmpp_2m),
+                          ("heun", samplers.sample_heun)):
+            out = fn(denoise, x_init, sigmas_half, jax.random.key(8))
+            m = metrics.compute_metrics(out, x0)
+            results[op_name][f"I/convert/{sname}@{half}"] = m
+            print(f"{op_name:18s} I/convert {sname}@{half:2d}steps "
+                  f"psnr={m['psnr']:6.2f} ssim={m['ssim']:.3f}", flush=True)
+
     os.makedirs(args.logdir, exist_ok=True)
     with open(os.path.join(args.logdir, "results.json"), "w") as f:
         json.dump(results, f, indent=2)

@@ -238,3 +238,18 @@ def test_sample_condition_cli_dp_mesh(tiny_env):
         "--dp", "--dtype", "float32"])
     assert np.isfinite(avg["psnr"])
     assert os.path.exists(os.path.join(logdir, "avg_metrics.yaml"))
+
+
+def test_sample_condition_cli_dpmpp(tiny_env):
+    """--sampler dpmpp_2m: the fewer-NFE guided chain (capability past the
+    reference's heun/euler-only CLI)."""
+    from kdip_tpu.cli import sample_condition
+
+    logdir = str(tiny_env["root"] / "logs_dpmpp")
+    avg = sample_condition.main([
+        "--checkpoint", tiny_env["ckpt"], "--config", tiny_env["config"],
+        "--operator-config", tiny_env["op"], "--logdir", logdir,
+        "--steps", "4", "--guidance", "I", "--xstart-cov-type", "convert",
+        "--cg-maxiter", "20", "--max-images", "1", "--sampler", "dpmpp_2m",
+        "--dtype", "float32"])
+    assert np.isfinite(avg["psnr"])
