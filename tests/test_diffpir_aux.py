@@ -210,3 +210,37 @@ def test_shepard_initialize_matches_reference(reference_path, chans):
     want = ref.shepard_initialize(img.copy(), mask.copy(), window=5)
     got = np.asarray(inpaint.shepard_initialize(img, mask, window=5))
     np.testing.assert_allclose(got, want, atol=1e-6)  # fp32 on-device path
+
+
+def test_wrap_boundary_reduces_deconvolution_artifacts():
+    """Integration: deconvolving a non-periodic blurred image circularly
+    rings at the borders; wrap_boundary_liu padding to an FFT-friendly size
+    (the reference's classic-deblur preprocessing) suppresses it."""
+    from scipy import ndimage
+
+    rng = np.random.RandomState(0)
+    h = w = 48
+    # strongly non-periodic content: a diagonal ramp + texture
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (xx + yy) / (h + w) + 0.1 * rng.rand(h, w)
+    psf = kernels.fspecial_gaussian(9, 1.5)
+    # real-world (non-circular) blur
+    blurred = ndimage.convolve(img, psf, mode="nearest")
+
+    def wiener_circ(y, shape, eps=1e-3):
+        otf = deblur.psf2otf(psf, shape)
+        num = np.conj(otf) * np.fft.fft2(y)
+        return np.real(np.fft.ifft2(num / (np.abs(otf) ** 2 + eps)))
+
+    naive = wiener_circ(blurred, (h, w))
+
+    target = deblur.opt_fft_size([h + psf.shape[0] - 1,
+                                  w + psf.shape[1] - 1]).astype(int)
+    padded = np.asarray(deblur.wrap_boundary_liu(blurred, target))
+    dewrapped = wiener_circ(padded, tuple(target))[:h, :w]
+
+    border = np.ones((h, w), dtype=bool)
+    border[8:-8, 8:-8] = False
+    err_naive = np.abs(naive - img)[border].mean()
+    err_wrap = np.abs(dewrapped - img)[border].mean()
+    assert err_wrap < 0.5 * err_naive, (err_naive, err_wrap)
