@@ -79,7 +79,10 @@ def build_argparser():
     p.add_argument("--xstart-cov-type", type=str, default="convert",
                    choices=["analytic", "convert", "pgdm", "dps", "diffpir",
                             "tmpd"])
-    p.add_argument("--mle-sigma-thres", type=float, default=0.2)
+    p.add_argument("--mle-sigma-thres", type=float, default=None,
+                   help="default 0.2 (v1, ref: sample_condition_openai.py"
+                        ":97) or 1.0 with --v2 (ref: sample_condition_"
+                        "openai_v2.py:90)")
     p.add_argument("--lam", type=float, default=None)
     p.add_argument("--zeta", type=float, default=None)
     p.add_argument("--num-hutchinson-samples", type=int, default=None)
@@ -169,9 +172,12 @@ def main(argv=None):
     print(f"Operation: {operator_config['name']} / sigma_s: "
           f"{operator_config['sigma_s']}", flush=True)
 
+    mle_thres = args.mle_sigma_thres
+    if mle_thres is None:
+        mle_thres = 1.0 if args.v2 else 0.2
     gcfg = guidance.GuidanceConfig(
         guidance=args.guidance, x0_cov_type=args.xstart_cov_type,
-        mle_sigma_thres=args.mle_sigma_thres, zeta=args.zeta, lambda_=args.lam,
+        mle_sigma_thres=mle_thres, zeta=args.zeta, lambda_=args.lam,
         eta=args.eta, num_hutchinson_samples=args.num_hutchinson_samples,
         ortho_tf_type=ortho_tf_type, cg_maxiter=args.cg_maxiter)
     scfg = sampling_api.SamplerConfig(
