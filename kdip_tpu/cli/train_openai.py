@@ -81,6 +81,11 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--max-steps", type=int, default=10000)
     p.add_argument("--save-every", type=int, default=1000)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from <logdir>/train_state_latest (full "
+                        "params+optimizer+EMA state, written at every save "
+                        "— the equivalent of the reference's Lightning "
+                        "--checkpoint resume)")
     p.add_argument("--preview-every", type=int, default=0,
                    help="if >0, save a dpmpp_2m EMA sample grid every N steps "
                         "(ref: train_openai.py:106-117 per-epoch preview)")
@@ -123,6 +128,19 @@ def main(argv=None):
     if args.accum > 1:
         optimizer = optax.MultiSteps(optimizer, args.accum)
     state = train.create_train_state(params, optimizer)
+    start_step = 0
+    resume_dir = os.path.join(args.logdir, "train_state_latest")
+    if args.resume and os.path.isdir(resume_dir):
+        template = {"step": 0, "params": state.params,
+                    "ema_params": state.ema_params,
+                    "opt_state": state.opt_state}
+        loaded = ckpt.load_checkpoint(resume_dir, target=template)
+        start_step = int(loaded["step"])
+        state = train.TrainState(step=jnp.asarray(start_step),
+                                 params=loaded["params"],
+                                 opt_state=loaded["opt_state"],
+                                 ema_params=loaded["ema_params"])
+        print(f"resumed from {resume_dir} at step {start_step}", flush=True)
 
     n_dev = len(jax.devices())
     while args.batch_size % n_dev:
@@ -151,9 +169,11 @@ def main(argv=None):
     from ..tfevents import EventFileWriter
     tb = EventFileWriter(os.path.join(args.logdir, "tb"))
 
-    key = jax.random.key(args.seed)
-    step = 0
+    key = jax.random.key(args.seed + start_step)
+    step = start_step
     t0 = time.time()
+    for _ in range(start_step):
+        ema_sched.step()  # fast-forward the EMA warmup schedule
     try:
         while step < args.max_steps:
             for batch in dataset.batches(args.batch_size, drop_last=True,
@@ -183,6 +203,12 @@ def main(argv=None):
                     ckpt.save_checkpoint(
                         os.path.join(args.logdir, f"state_{step}"),
                         jax.device_get(state.ema_params))
+                    ckpt.save_checkpoint(
+                        os.path.join(args.logdir, "train_state_latest"),
+                        jax.device_get({"step": step,
+                                        "params": state.params,
+                                        "ema_params": state.ema_params,
+                                        "opt_state": state.opt_state}))
     except KeyboardInterrupt:
         # graceful interrupt: keep the EMA weights (the reference relies on
         # Lightning's checkpoint-on-interrupt; every reference entry point

@@ -253,3 +253,20 @@ def test_sample_condition_cli_dpmpp(tiny_env):
         "--cg-maxiter", "20", "--max-images", "1", "--sampler", "dpmpp_2m",
         "--dtype", "float32"])
     assert np.isfinite(avg["psnr"])
+
+
+def test_train_cli_resume(tiny_env):
+    """--resume restores the full train state (params+opt+EMA+step) from
+    train_state_latest and continues from the saved step."""
+    from kdip_tpu.cli import train_openai
+
+    logdir = str(tiny_env["root"] / "train_resume")
+    common = ["--config", tiny_env["config"], "--checkpoint",
+              tiny_env["ckpt"], "--logdir", logdir, "--batch-size", "2",
+              "--save-every", "2", "--lr", "1e-4"]
+    train_openai.main(common + ["--max-steps", "2"])
+    assert os.path.isdir(os.path.join(logdir, "train_state_latest"))
+    train_openai.main(common + ["--max-steps", "4", "--resume"])
+    # both segment saves exist: step 2 from the first run, 4 from resume
+    assert os.path.isdir(os.path.join(logdir, "state_2"))
+    assert os.path.isdir(os.path.join(logdir, "state_4"))
