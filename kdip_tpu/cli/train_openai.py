@@ -169,6 +169,21 @@ def main(argv=None):
     from ..tfevents import EventFileWriter
     tb = EventFileWriter(os.path.join(args.logdir, "tb"))
 
+    # Preemption safety (TPU maintenance events deliver SIGTERM): request a
+    # clean stop; the loop saves train_state_latest and exits 0, so a
+    # --resume relaunch continues where it left off. The reference has no
+    # preemption handling (SURVEY aux: Lightning restart only).
+    import signal
+    stop_requested = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        stop_requested["flag"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # non-main thread (e.g. under some test runners)
+
     key = jax.random.key(args.seed + start_step)
     step = start_step
     t0 = time.time()
@@ -199,6 +214,8 @@ def main(argv=None):
                 if args.preview_every and step % args.preview_every == 0:
                     _save_preview(model, state.ema_params, tables, size,
                                   model_config, args, step)
+                if stop_requested["flag"]:
+                    raise KeyboardInterrupt
                 if step % args.save_every == 0 or step == args.max_steps:
                     ckpt.save_checkpoint(
                         os.path.join(args.logdir, f"state_{step}"),
@@ -210,13 +227,19 @@ def main(argv=None):
                                         "ema_params": state.ema_params,
                                         "opt_state": state.opt_state}))
     except KeyboardInterrupt:
-        # graceful interrupt: keep the EMA weights (the reference relies on
-        # Lightning's checkpoint-on-interrupt; every reference entry point
-        # catches KeyboardInterrupt, e.g. sample_condition_openai.py:214-217)
-        print(f"interrupted at step {step} — saving checkpoint", flush=True)
+        # graceful interrupt / preemption: keep the EMA weights AND the full
+        # resumable state (every reference entry point catches
+        # KeyboardInterrupt, e.g. sample_condition_openai.py:214-217)
+        why = "preempted" if stop_requested["flag"] else "interrupted"
+        print(f"{why} at step {step} — saving checkpoint", flush=True)
         if step > 0:
             ckpt.save_checkpoint(os.path.join(args.logdir, f"state_{step}"),
                                  jax.device_get(state.ema_params))
+            ckpt.save_checkpoint(
+                os.path.join(args.logdir, "train_state_latest"),
+                jax.device_get({"step": step, "params": state.params,
+                                "ema_params": state.ema_params,
+                                "opt_state": state.opt_state}))
     finally:
         log_file.close()
         tb.close()

@@ -270,3 +270,30 @@ def test_train_cli_resume(tiny_env):
     # both segment saves exist: step 2 from the first run, 4 from resume
     assert os.path.isdir(os.path.join(logdir, "state_2"))
     assert os.path.isdir(os.path.join(logdir, "state_4"))
+
+
+def test_train_cli_preemption_sigterm(tiny_env):
+    """SIGTERM mid-training saves a resumable state and exits cleanly."""
+    import signal
+    import subprocess
+    import sys
+
+    logdir = str(tiny_env["root"] / "train_preempt")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "kdip_tpu.cli.train_openai",
+         "--config", tiny_env["config"], "--checkpoint", tiny_env["ckpt"],
+         "--logdir", logdir, "--batch-size", "2", "--save-every", "1000",
+         "--max-steps", "1000"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    # wait for training to actually start, then preempt
+    while True:
+        line = proc.stdout.readline()
+        if "step 1:" in line:
+            break
+        assert proc.poll() is None, "train CLI exited early"
+    proc.send_signal(signal.SIGTERM)
+    out = proc.stdout.read()
+    assert proc.wait(timeout=300) == 0
+    assert "preempted at step" in out
+    assert os.path.isdir(os.path.join(logdir, "train_state_latest"))
