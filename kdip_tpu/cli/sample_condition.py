@@ -65,6 +65,11 @@ def build_argparser():
                    default=os.path.join("runs", "sample_condition", "temp"))
     p.add_argument("--save-img", dest="save_img", action="store_true")
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="skip images already recorded in "
+                        "<logdir>/metrics.jsonl (per-image PRNG keys are "
+                        "derived by index, so resumed runs produce the "
+                        "exact samples an uninterrupted run would)")
     # sampler
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--ode", dest="ode", action="store_true")
@@ -226,6 +231,15 @@ def main(argv=None):
 
     test_set = FolderOfImages(dataset_config["location"])
     metrics_list = []
+    done = {}
+    journal_path = os.path.join(args.logdir, "metrics.jsonl")
+    if args.resume and os.path.exists(journal_path):
+        with open(journal_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                done[rec.pop("image")] = rec
+        metrics_list.extend(done.values())
+        print(f"resume: {len(done)} images already done", flush=True)
     key = jax.random.key(args.seed)
     n_images = len(test_set) if args.max_images is None \
         else min(args.max_images, len(test_set))
@@ -233,7 +247,7 @@ def main(argv=None):
     t_start = time.time()
     try:
         _run_images(args, batch, n_images, test_set, operator, jitted, params,
-                    metrics_list, lpips_params, key)
+                    metrics_list, lpips_params, key, done, journal_path)
     except KeyboardInterrupt:
         # graceful interrupt (ref: sample_condition_openai.py:214-217):
         # report/ save averages over the images completed so far
@@ -249,20 +263,28 @@ def main(argv=None):
 
 
 def _run_images(args, batch, n_images, test_set, operator, jitted, params,
-                metrics_list, lpips_params, key):
+                metrics_list, lpips_params, key, done=None,
+                journal_path=None):
     import jax
     import jax.numpy as jnp
 
     from .. import metrics
 
+    done = done or {}
+    journal = open(journal_path, "a") if journal_path else None
     for start in range(0, n_images, batch):
         idxs = list(range(start, min(start + batch, n_images)))
+        if all(i in done for i in idxs):
+            continue
         x0 = jnp.stack([jnp.asarray(test_set[i][0]) for i in idxs])
         n_real = x0.shape[0]
         if n_real < batch:  # pad the final partial batch; reuse the program
             pad = jnp.repeat(x0[-1:], batch - n_real, axis=0)
             x0 = jnp.concatenate([x0, pad], axis=0)
-        key, k_meas, k_samp = jax.random.split(key, 3)
+        # keys are folded in by batch-start index, not chained, so a
+        # --resume run reproduces exactly what the full run would have
+        k_meas = jax.random.fold_in(key, 2 * start)
+        k_samp = jax.random.fold_in(key, 2 * start + 1)
         measurement = operator.measure(x0, k_meas)
         hat_x0 = jitted(params, measurement, k_samp)
 
@@ -272,8 +294,13 @@ def _run_images(args, batch, n_images, test_set, operator, jitted, params,
                                             x0[bi:bi + 1], lpips_params)
             else:
                 m = metrics.compute_metrics(hat_x0[:1], x0[:1], lpips_params)
+            if i in done:
+                continue
             metrics_list.append(m)  # before the print: an interrupt must
             print(m, flush=True)    # never lose an already-computed image
+            if journal is not None:
+                journal.write(json.dumps(dict(m, image=i)) + "\n")
+                journal.flush()
 
             if args.save_img:
                 to_pil_image(np.asarray(measurement.y[bi])).save(
@@ -284,6 +311,8 @@ def _run_images(args, batch, n_images, test_set, operator, jitted, params,
                     to_pil_image(np.asarray(samples[j])).save(os.path.join(
                         args.logdir,
                         f"{args.prefix}_img_{i}_hat_x0_sample_{j}.png"))
+    if journal is not None:
+        journal.close()
 
 
 if __name__ == "__main__":

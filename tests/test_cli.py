@@ -297,3 +297,28 @@ def test_train_cli_preemption_sigterm(tiny_env):
     assert proc.wait(timeout=300) == 0
     assert "preempted at step" in out
     assert os.path.isdir(os.path.join(logdir, "train_state_latest"))
+
+
+def test_sample_condition_cli_resume(tiny_env):
+    """--resume skips journaled images and reproduces the uninterrupted
+    run's outputs exactly (per-index folded PRNG keys)."""
+    from kdip_tpu.cli import sample_condition
+
+    base = ["--checkpoint", tiny_env["ckpt"], "--config", tiny_env["config"],
+            "--operator-config", tiny_env["op"], "--steps", "3",
+            "--guidance", "I", "--xstart-cov-type", "convert",
+            "--cg-maxiter", "20", "--dtype", "float32"]
+
+    full_dir = str(tiny_env["root"] / "logs_full")
+    avg_full = sample_condition.main(
+        base + ["--logdir", full_dir, "--max-images", "3"])
+
+    part_dir = str(tiny_env["root"] / "logs_part")
+    sample_condition.main(base + ["--logdir", part_dir, "--max-images", "2"])
+    # resume to 3 images: image 0,1 skipped via the journal, 2 computed
+    avg_res = sample_condition.main(
+        base + ["--logdir", part_dir, "--max-images", "3", "--resume"])
+
+    assert avg_res["psnr"] == pytest.approx(avg_full["psnr"], abs=1e-4)
+    lines = open(os.path.join(part_dir, "metrics.jsonl")).read().splitlines()
+    assert len(lines) == 3
