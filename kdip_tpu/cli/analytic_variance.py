@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--checkpoint", type=str, required=True)
     p.add_argument("--num-sigmas", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from <logdir>/recon_mse.jsonl (per-sigma "
+                        "journal; index-folded keys make the resumed table "
+                        "identical to an uninterrupted run)")
     p.add_argument("--per-sample-map", action="store_true",
                    help="lax.map of batch-1 forwards (the v5e-friendly conv "
                         "layout, ~25%% faster per sample at 256px than "
@@ -75,7 +79,9 @@ def main(argv=None):
              lambda xi: denoise(p, xi[None], s)[0], x))
         if args.per_sample_map else
         (lambda p, x, s: denoise(p, x, s)), batches, sigmas,
-        jax.random.key(args.seed), params=params)
+        jax.random.key(args.seed), params=params,
+        journal_path=(os.path.join(args.logdir, "recon_mse.jsonl")
+                      if args.resume else None))
 
     os.makedirs(args.logdir, exist_ok=True)
     np.savez(os.path.join(args.logdir, "recon_mse.npz"),

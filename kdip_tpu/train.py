@@ -14,7 +14,7 @@ Instead of Lightning/DDP, training is a pure jitted step over a `Mesh`
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -160,7 +160,8 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
 # ---------------------------------------------------------------------------
 
 def analytic_variance(denoise: Callable, data_batches, sigmas, key,
-                      params=None) -> Dict[str, jnp.ndarray]:
+                      params=None,
+                      journal_path: Optional[str] = None) -> Dict[str, jnp.ndarray]:
     """Monte-Carlo per-sigma reconstruction MSE table.
 
     For each sigma: mse = E || x0 - D(x0 + sigma*eps, sigma) ||^2 / numel
@@ -176,9 +177,26 @@ def analytic_variance(denoise: Callable, data_batches, sigmas, key,
             else denoise(x0 + sigma * eps, sigma)
         return jnp.mean((hat - x0) ** 2)
 
+    import json
+    import os
+
+    done = {}
+    journal = None
+    if journal_path:
+        if os.path.exists(journal_path):
+            with open(journal_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    done[rec["i"]] = rec
+        journal = open(journal_path, "a")
+
     mses = []
     errors = []
     for i, sigma in enumerate(sigmas):
+        if i in done:  # journaled resume; keys are index-folded, so the
+            mses.append(done[i]["mse"])     # result equals a fresh run
+            errors.append(done[i]["err"])
+            continue
         vals = []
         for j, x0 in enumerate(data_batches() if callable(data_batches)
                                else data_batches):
@@ -187,5 +205,13 @@ def analytic_variance(denoise: Callable, data_batches, sigmas, key,
         vals = jnp.stack(vals)
         mses.append(jnp.mean(vals))
         errors.append(jnp.std(vals) / jnp.sqrt(len(vals)))
-    return {"sigmas": jnp.asarray(sigmas), "mse_list": jnp.stack(mses),
-            "errors": jnp.stack(errors)}
+        if journal is not None:
+            journal.write(json.dumps({"i": i, "sigma": float(sigma),
+                                      "mse": float(mses[-1]),
+                                      "err": float(errors[-1])}) + "\n")
+            journal.flush()
+    if journal is not None:
+        journal.close()
+    return {"sigmas": jnp.asarray(sigmas),
+            "mse_list": jnp.asarray([float(m) for m in mses]),
+            "errors": jnp.asarray([float(e) for e in errors])}

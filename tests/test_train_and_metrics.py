@@ -209,3 +209,32 @@ def test_sigma_densities_statistics():
         sigma_max=80.0)
     s4 = density(key, n)
     assert float(s4.min()) >= 1e-2 and float(s4.max()) <= 80.0
+
+
+def test_analytic_variance_journal_resume(tmp_path):
+    """Journaled analytic_variance: a resumed run skips done sigmas and
+    yields the identical table (index-folded keys)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kdip_tpu import train
+
+    def denoise(x, sigma):
+        return x / (1 + sigma ** 2)
+
+    batches = [np.random.RandomState(0).randn(4, 8, 8, 3).astype(np.float32)]
+    sigmas = np.array([0.1, 1.0, 10.0])
+    key = jax.random.key(0)
+
+    full = train.analytic_variance(denoise, batches, sigmas, key)
+
+    jp = str(tmp_path / "recon.jsonl")
+    # first run computes only sigma 0 (truncate), journaling as it goes
+    train.analytic_variance(denoise, batches, sigmas[:1], key,
+                            journal_path=jp)
+    resumed = train.analytic_variance(denoise, batches, sigmas, key,
+                                      journal_path=jp)
+    np.testing.assert_allclose(np.asarray(resumed["mse_list"]),
+                               np.asarray(full["mse_list"]), rtol=1e-6)
+    assert len(open(jp).read().splitlines()) == 3
