@@ -124,7 +124,11 @@ def test_dwt_var_train_then_sample(pretrained_env):
         "--checkpoint", v2_ckpt, "--config", pretrained_env["config"],
         "--operator-config", op_path, "--logdir", out_logdir,
         "--steps", "10", "--guidance", "I", "--v2", "--ode",
-        "--cg-maxiter", "30", "--max-images", "2", "--dtype", "float32"])
+        "--cg-maxiter", "30", "--max-images", "2", "--dtype", "float32",
+        # the CLI's --v2 default (1.0, matching the reference) trusts the
+        # learned head over a wide sigma range; this head is only 30 steps
+        # old, so pin the v1 threshold for a meaningful quality bar
+        "--mle-sigma-thres", "0.2"])
     assert np.isfinite(avg["psnr"])
     # learned-covariance guided reconstruction of a half-masked image from a
     # trained model should be clearly better than noise (>15 dB)
