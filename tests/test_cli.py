@@ -322,3 +322,22 @@ def test_sample_condition_cli_resume(tiny_env):
     assert avg_res["psnr"] == pytest.approx(avg_full["psnr"], abs=1e-4)
     lines = open(os.path.join(part_dir, "metrics.jsonl")).read().splitlines()
     assert len(lines) == 3
+
+
+def test_mle_sigma_thres_defaults_per_mode():
+    """The unified CLI resolves --mle-sigma-thres like the reference's two
+    scripts: 0.2 for v1 (sample_condition_openai.py:97), 1.0 with --v2
+    (sample_condition_openai_v2.py:90)."""
+    from kdip_tpu.cli.sample_condition import build_argparser
+
+    p = build_argparser()
+    assert p.parse_args([]).mle_sigma_thres is None
+    assert p.parse_args(["--mle-sigma-thres", "0.5"]).mle_sigma_thres == 0.5
+    # resolution logic mirrored from main()
+    for v2, want in ((False, 0.2), (True, 1.0)):
+        argv = ["--v2"] if v2 else []
+        args = p.parse_args(argv)
+        thres = args.mle_sigma_thres
+        if thres is None:
+            thres = 1.0 if args.v2 else 0.2
+        assert thres == want
