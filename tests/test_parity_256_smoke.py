@@ -157,3 +157,49 @@ def test_256px_v2_dct_guidance_one_call(reference_path):
                       jnp.float32(sigma), jax.random.key(0))
     np.testing.assert_allclose(np.asarray(our_out).transpose(0, 3, 1, 2),
                                ref_out.detach().numpy(), atol=8e-3, rtol=2e-2)
+
+
+@pytest.mark.slow
+def test_256px_classifier_encoder_parity(reference_path):
+    """EncoderUNetModel at production scale (256px, ImageNet classifier
+    config: width 128, depth 2, attention pool) vs the torch reference."""
+    import torch
+    from guided_diffusion.script_util import classifier_defaults
+    from guided_diffusion.unet import EncoderUNetModel
+
+    from kdip_tpu import script_util as su
+
+    flags = classifier_defaults()
+    flags["image_size"] = SIZE
+    torch.manual_seed(0)
+    t_clf = EncoderUNetModel(
+        image_size=SIZE, in_channels=3, model_channels=flags["classifier_width"],
+        out_channels=1000, num_res_blocks=flags["classifier_depth"],
+        attention_resolutions={SIZE // int(r) for r in
+                               flags["classifier_attention_resolutions"].split(",")},
+        channel_mult=(1, 1, 2, 2, 4, 4), num_head_channels=64,
+        use_scale_shift_norm=True, resblock_updown=True,
+        pool="attention").eval()
+
+    f_clf, _ = su.create_classifier_and_diffusion(
+        image_size=SIZE, classifier_use_fp16=False,
+        classifier_width=flags["classifier_width"],
+        classifier_depth=flags["classifier_depth"],
+        classifier_attention_resolutions=flags["classifier_attention_resolutions"],
+        classifier_use_scale_shift_norm=True, classifier_resblock_updown=True,
+        classifier_pool="attention", learn_sigma=False, diffusion_steps=1000,
+        noise_schedule="linear", timestep_respacing="", use_kl=False,
+        predict_xstart=False, rescale_timesteps=False,
+        rescale_learned_sigmas=False)
+    params = ckpt.convert_classifier_state_dict(t_clf.state_dict(),
+                                                "attention")
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 3, SIZE, SIZE).astype(np.float32) * 0.5
+    ts = np.array([400.0], dtype=np.float32)
+    with torch.no_grad():
+        want = t_clf(torch.tensor(x), torch.tensor(ts)).numpy()
+    got = np.asarray(f_clf.apply({"params": params},
+                                 jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                 jnp.asarray(ts)))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
