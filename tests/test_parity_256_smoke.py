@@ -203,3 +203,87 @@ def test_256px_classifier_encoder_parity(reference_path):
                                  jnp.asarray(x.transpose(0, 2, 3, 1)),
                                  jnp.asarray(ts)))
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_256px_stsl_one_call(reference_path, monkeypatch):
+    """STSL guidance at production scale: one conditioned denoiser call at
+    256px with pinned Hutchinson probes on both stacks (the 16px
+    call-for-call harness lives in tests/test_stsl_parity.py)."""
+    import torch
+    from condition import condition as ref_condition
+    from condition.condition import ConditionOpenAIDenoiser
+    from condition.measurements import get_operator as ref_get_operator
+    from guided_diffusion.script_util import (create_model_and_diffusion,
+                                              model_and_diffusion_defaults)
+
+    torch.manual_seed(0)
+    flags = model_and_diffusion_defaults()
+    flags.update(dict(image_size=SIZE, num_channels=128, num_res_blocks=1,
+                      attention_resolutions="16", dropout=0.0,
+                      learn_sigma=True, num_head_channels=64,
+                      resblock_updown=True, use_scale_shift_norm=True,
+                      diffusion_steps=1000, noise_schedule="linear"))
+    t_unet, diff_ref = create_model_and_diffusion(**flags)
+    t_unet.eval()
+    f_model = adm.ffhq_unet(dtype=jnp.float32)
+    params = ckpt.convert_adm_state_dict(t_unet.state_dict())
+    tables = diffusion.make_diffusion(1000, "linear")
+
+    np.random.seed(0)
+    ref_op = ref_get_operator(name="inpainting", device="cpu", sigma_s=0.05,
+                              mask_opt=dict(mask_type="random",
+                                            mask_prob_range=(0.5, 0.5),
+                                            image_size=SIZE))
+    rng = np.random.RandomState(1)
+    x0 = rng.rand(1, 3, SIZE, SIZE).astype(np.float32) * 2 - 1
+    torch.manual_seed(1)
+    ref_meas = ref_op.forward(torch.tensor(x0).clone(), flatten=True)
+    mask = ref_op.mask.numpy()[0].transpose(1, 2, 0)
+    my_op = kops.InpaintingOperator(sigma_s=jnp.float32(0.05),
+                                    mask=jnp.asarray(mask))
+    meas = kops.Measurement(
+        y=jnp.asarray(ref_meas[0].numpy().transpose(0, 2, 3, 1)))
+
+    n_hutch = 1
+    probes = [rng.randn(1, 3, SIZE, SIZE).astype(np.float32)
+              for _ in range(n_hutch)]
+
+    ref_cond = ConditionOpenAIDenoiser(
+        inner_model=t_unet, diffusion=diff_ref, operator=ref_op,
+        measurement=ref_meas, guidance="stsl", x0_cov_type="convert",
+        recon_mse=None, device="cpu", zeta=0.3, eta=0.7,
+        num_hutchinson_samples=n_hutch).eval()
+    ref_queue = [torch.tensor(p.copy()) for p in probes]
+    monkeypatch.setattr(ref_condition.torch, "randn_like",
+                        lambda t: ref_queue.pop(0), raising=True)
+
+    cfg = guidance.GuidanceConfig(guidance="stsl", x0_cov_type="convert",
+                                  zeta=0.3, eta=0.7,
+                                  num_hutchinson_samples=n_hutch,
+                                  cg_maxiter=200)
+
+    def model_apply(p, x, t):
+        return f_model.apply({"params": p}, x, t.astype(jnp.float32))
+
+    uncond, var_fn = guidance.make_openai_uncond(model_apply, tables, cfg)
+    denoise = guidance.make_condition_denoiser(uncond, var_fn, my_op, meas,
+                                               cfg, params=params)
+    our_queue = [p.copy() for p in probes]
+    real_normal = jax.random.normal
+
+    def fake_normal(key, shape=(), dtype=float):
+        if our_queue:
+            return jnp.asarray(our_queue.pop(0).transpose(0, 2, 3, 1),
+                               dtype=dtype)
+        return real_normal(key, shape, dtype)
+
+    monkeypatch.setattr(jax.random, "normal", fake_normal, raising=True)
+
+    sigma = 0.5
+    x = (x0 + rng.randn(1, 3, SIZE, SIZE).astype(np.float32) * sigma)
+    want = ref_cond(torch.tensor(x), torch.tensor([sigma])).detach().numpy()
+    got = np.asarray(denoise(jnp.asarray(x.transpose(0, 2, 3, 1)),
+                             jnp.float32(sigma),
+                             jax.random.key(0))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-2)
