@@ -124,18 +124,31 @@ def main(argv=None):
     model_config = config["model"]
     dataset_config = config["dataset"]
 
-    model, tables = kconfig.make_openai_model(model_config, dtype=dtype)
+    native_v2 = model_config["type"] == "image_v2"
+    if native_v2:
+        # k-diffusion native DCT/DWT-Var model (configs/test_ffhq_dct.json —
+        # the reference ships this config but no entry point consumes it)
+        from .. import diffusion as diff_mod
+        model = kconfig.make_model(config, dtype=dtype)
+        tables = diff_mod.make_diffusion(1000, "linear")  # unused by EDM path
+    else:
+        model, tables = kconfig.make_openai_model(model_config, dtype=dtype)
     size = model_config["input_size"]
     assert len(size) == 2 and size[0] == size[1]
 
-    ortho_tf_type = model_config.get("ortho_tf_type") if args.v2 else None
-    if args.v2 and args.spatial_var:
+    ortho_tf_type = (model_config.get("ortho_tf_type")
+                     if (args.v2 or native_v2) else None)
+    if args.spatial_var:
         ortho_tf_type = None
 
     # checkpoint: torch .pt/.ckpt or orbax dir
     from ..models import adm as adm_mod
     if os.path.isdir(args.checkpoint):
         params = ckpt.load_checkpoint(args.checkpoint)
+    elif native_v2:
+        params = ckpt.convert_kdiff_state_dict(
+            ckpt.load_torch_checkpoint(args.checkpoint),
+            num_levels=len(model_config["depths"]))
     else:
         sd = ckpt.load_torch_checkpoint(args.checkpoint)
         if args.v2:
@@ -150,7 +163,15 @@ def main(argv=None):
         else:
             params = ckpt.convert_adm_state_dict(sd)
 
-    if args.v2:
+    if native_v2:
+        n_mapping = 9 if model_config.get("augment_wrapper") else 0
+
+        def model_apply(p, x_scaled, sigma_b):
+            cond = (jnp.zeros((x_scaled.shape[0], n_mapping))
+                    if n_mapping else None)
+            return model.apply({"params": p}, x_scaled, sigma_b,
+                               mapping_cond=cond, return_variance=True)
+    elif args.v2:
         v2_model = adm_mod.ADMUNetV2(unet=model)
 
         def model_apply(p, x_scaled, t):
@@ -179,7 +200,7 @@ def main(argv=None):
 
     mle_thres = args.mle_sigma_thres
     if mle_thres is None:
-        mle_thres = 1.0 if args.v2 else 0.2
+        mle_thres = 1.0 if (args.v2 or native_v2) else 0.2
     gcfg = guidance.GuidanceConfig(
         guidance=args.guidance, x0_cov_type=args.xstart_cov_type,
         mle_sigma_thres=mle_thres, zeta=args.zeta, lambda_=args.lam,
@@ -210,10 +231,15 @@ def main(argv=None):
         # per-device batch-k, so disable the single-chip per-sample map
         scfg = dataclasses.replace(scfg, per_sample_map=False)
 
+    uncond_pair = None
+    if native_v2:
+        uncond_pair = guidance.make_kdiff_v2_uncond(
+            model_apply, gcfg, sigma_data=model_config.get("sigma_data", 0.5))
     sampler = sampling_api.build_posterior_sampler(
         model_apply, tables, operator, gcfg, scfg, recon_mse=recon_mse,
-        v2=args.v2, image_size=size[0],
-        channels=model_config.get("input_channels", 3))
+        v2=args.v2 or native_v2, image_size=size[0],
+        channels=model_config.get("input_channels", 3),
+        uncond_pair=uncond_pair)
     if mesh is not None:
         from ..parallel import sharding as sh
         jitted = sh.make_sharded_sampler(

@@ -175,6 +175,44 @@ def make_openai_v2_uncond(model_apply: Callable, tables: diff.DiffusionTables,
     return uncond_pred, x0_var_fn
 
 
+def make_kdiff_v2_uncond(model_apply: Callable, cfg: GuidanceConfig,
+                         sigma_data: float = 0.5):
+    """uncond_pred for the k-diffusion NATIVE variance model
+    (ImageDenoiserModelV2, the DCT-Var config `configs/test_ffhq_dct.json`).
+
+    The reference ships that test config but no entry point consumes it
+    (no script builds image_v2 models for guided sampling) — this is the
+    natural extension: the same learned-covariance treatment as the OpenAI
+    V2 path (ref: condition.py:287-300) with EDM c_skip/c_out/c_in
+    preconditioning (ref: k_diffusion/layers.py:13-37) instead of the
+    discrete-eps scalings.
+
+    model_apply(params, x_scaled, sigma) -> (model_output, logvar,
+    logvar_ot), the raw triple from ImageDenoiserModelV2 with
+    return_variance=True.
+    """
+    def uncond_pred(params, x, sigma):
+        c_skip, c_out, c_in = precond.edm_scalings(sigma, sigma_data)
+        sigma_b = jnp.broadcast_to(sigma, (x.shape[0],))
+        model_output, logvar, logvar_ot = model_apply(
+            params, x * append_dims(c_in, x.ndim), sigma_b)
+        x0_mean = (model_output * append_dims(c_out, x.ndim)
+                   + x * append_dims(c_skip, x.ndim))
+        return x0_mean, {"logvar": logvar, "logvar_ot": logvar_ot}
+
+    def x0_var_fn(aux, sigma, x0_mean_vjp=None, x_shape=None):
+        _, c_out, _ = precond.edm_scalings(sigma, sigma_data)
+        c_out2 = append_dims(c_out ** 2, aux["logvar"].ndim)
+        x0_var = jnp.where(sigma < cfg.mle_sigma_thres,
+                           jnp.exp(aux["logvar"]) * c_out2, mle_var(sigma))
+        theta0_var = jnp.where(sigma < cfg.mle_sigma_thres,
+                               jnp.exp(aux["logvar_ot"]) * c_out2,
+                               mle_var(sigma))
+        return x0_var, theta0_var
+
+    return uncond_pred, x0_var_fn
+
+
 # ---------------------------------------------------------------------------
 # Mat solvers: v = (sigma_s^2 I + A Sigma A^T)^{-1} (y - A x0_mean), returned
 # pulled back through A^T where applicable (ref: condition.py:303-439)

@@ -50,16 +50,20 @@ def build_posterior_sampler(model_apply: Callable, tables: diff.DiffusionTables,
                             sampler_cfg: SamplerConfig = SamplerConfig(),
                             recon_mse: Optional[Dict[str, jnp.ndarray]] = None,
                             v2: bool = False, image_size: int = 256,
-                            channels: int = 3):
+                            channels: int = 3, uncond_pair=None):
     """Returns a jittable `sample(params, measurement, key) -> hat_x0`.
 
     model_apply(params, x_scaled, t) -> raw UNet output (v1) or the
-    (eps, logvar, logvar_ot) triple (v2).
+    (eps, logvar, logvar_ot) triple (v2). `uncond_pair` overrides the
+    (uncond_pred, x0_var_fn) builders for non-OpenAI model families
+    (e.g. gd.make_kdiff_v2_uncond for the native DCT-Var model).
     """
     sigmas = schedules.get_sigmas_karras(sampler_cfg.steps, sampler_cfg.sigma_min,
                                          sampler_cfg.sigma_max, sampler_cfg.rho)
 
-    if v2:
+    if uncond_pair is not None:
+        uncond, var_fn = uncond_pair
+    elif v2:
         uncond, var_fn = gd.make_openai_v2_uncond(model_apply, tables, guidance_cfg)
     else:
         uncond, var_fn = gd.make_openai_uncond(model_apply, tables, guidance_cfg,

@@ -341,3 +341,46 @@ def test_mle_sigma_thres_defaults_per_mode():
         if thres is None:
             thres = 1.0 if args.v2 else 0.2
         assert thres == want
+
+
+def test_sample_condition_cli_native_dct_var(tiny_env, reference_path):
+    """Guided sampling with the k-diffusion NATIVE DCT-Var model
+    (ImageDenoiserModelV2) — the reference ships configs/test_ffhq_dct.json
+    for this model family but no entry point can consume it."""
+    import json as _json
+
+    import torch
+    from k_diffusion.models.image_v2 import ImageDenoiserModelV2 as RefModel
+
+    from kdip_tpu.cli import sample_condition
+
+    torch.manual_seed(0)
+    ref = RefModel(3, 64, [1, 2], [32, 64], [False, True],
+                   mapping_cond_dim=9, has_variance=True).eval()
+    ck = str(tiny_env["root"] / "native_dct.pt")
+    torch.save(ref.state_dict(), ck)
+
+    cfg = {
+        "model": {
+            "type": "image_v2", "input_channels": 3, "input_size": [32, 32],
+            "patch_size": 1, "mapping_out": 64, "depths": [1, 2],
+            "channels": [32, 64], "self_attn_depths": [False, True],
+            "has_variance": True, "dropout_rate": 0.0,
+            "augment_wrapper": True, "augment_prob": 0.0, "sigma_data": 0.5,
+            "sigma_min": 1e-2, "sigma_max": 80,
+            "sigma_sample_density": {"type": "cosine"},
+            "ortho_tf_type": "dct",
+        },
+        "dataset": {"type": "imagefolder", "location": tiny_env["data"]},
+    }
+    cfg_path = str(tiny_env["root"] / "native_dct.json")
+    open(cfg_path, "w").write(_json.dumps(cfg))
+
+    logdir = str(tiny_env["root"] / "logs_native")
+    avg = sample_condition.main([
+        "--checkpoint", ck, "--config", cfg_path,
+        "--operator-config", tiny_env["op"], "--logdir", logdir,
+        "--steps", "4", "--guidance", "I", "--ode",
+        "--cg-maxiter", "20", "--max-images", "1", "--dtype", "float32"])
+    assert np.isfinite(avg["psnr"])
+    assert os.path.exists(os.path.join(logdir, "avg_metrics.yaml"))
