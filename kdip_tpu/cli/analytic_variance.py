@@ -74,6 +74,7 @@ def main(argv=None):
     batches = list(dataset.batches(args.batch_size))
     batches = batches[:max(1, n_use // args.batch_size)]
 
+    os.makedirs(args.logdir, exist_ok=True)  # before the journal opens
     out = train.analytic_variance(
         (lambda p, x, s: jax.lax.map(
              lambda xi: denoise(p, xi[None], s)[0], x))
@@ -82,8 +83,6 @@ def main(argv=None):
         jax.random.key(args.seed), params=params,
         journal_path=(os.path.join(args.logdir, "recon_mse.jsonl")
                       if args.resume else None))
-
-    os.makedirs(args.logdir, exist_ok=True)
     np.savez(os.path.join(args.logdir, "recon_mse.npz"),
              sigmas=np.asarray(out["sigmas"]),
              mse_list=np.asarray(out["mse_list"]),

@@ -259,13 +259,33 @@ def main(argv=None):
     metrics_list = []
     done = {}
     journal_path = os.path.join(args.logdir, "metrics.jsonl")
+    # sampling-relevant settings; a resume against a journal written with
+    # different settings would silently report the old run's numbers
+    run_cfg = {"steps": args.steps, "sampler": args.sampler,
+               "euler": args.euler, "ode": args.ode,
+               "guidance": args.guidance, "cov": args.xstart_cov_type,
+               "mle_sigma_thres": mle_thres, "zeta": args.zeta,
+               "lam": args.lam, "eta": args.eta,
+               "cg_maxiter": args.cg_maxiter, "seed": args.seed,
+               "n": args.n, "v2": args.v2, "operator": args.operator_config}
     if args.resume and os.path.exists(journal_path):
         with open(journal_path) as f:
-            for line in f:
-                rec = json.loads(line)
-                done[rec.pop("image")] = rec
+            lines = f.read().splitlines()
+        header = json.loads(lines[0]) if lines else {}
+        if header.get("run_cfg") != run_cfg:
+            raise SystemExit(
+                f"--resume refused: {journal_path} was written with "
+                f"different settings ({header.get('run_cfg')} vs {run_cfg}); "
+                "use a fresh --logdir or delete the journal")
+        for line in lines[1:]:
+            rec = json.loads(line)
+            done[rec.pop("image")] = rec
         metrics_list.extend(done.values())
         print(f"resume: {len(done)} images already done", flush=True)
+    else:
+        os.makedirs(args.logdir, exist_ok=True)
+        with open(journal_path, "w") as f:  # fresh run: truncate stale journal
+            f.write(json.dumps({"run_cfg": run_cfg}) + "\n")
     key = jax.random.key(args.seed)
     n_images = len(test_set) if args.max_images is None \
         else min(args.max_images, len(test_set))

@@ -91,11 +91,13 @@ def condition_score(tables: DiffusionTables, cond_fn, p_mean_var: Dict, x, t):
 
 def p_sample(tables: DiffusionTables, model_fn: Callable, x, t, key,
              clip_denoised: bool = True, cond_fn: Optional[Callable] = None,
-             learn_sigma: bool = True):
+             learn_sigma: bool = True, predict_xstart: bool = False,
+             sigma_small: bool = False):
     """One ancestral reverse step (ref: gaussian_diffusion.py:395-439)."""
     model_output = model_fn(x, t)
     out = p_mean_variance(tables, model_output, x, t, clip_denoised,
-                          learn_sigma)
+                          learn_sigma, predict_xstart=predict_xstart,
+                          sigma_small=sigma_small)
     if cond_fn is not None:
         out["mean"] = condition_mean(tables, cond_fn, out, x, t)
     noise = jax.random.normal(key, x.shape, x.dtype)
@@ -106,7 +108,8 @@ def p_sample(tables: DiffusionTables, model_fn: Callable, x, t, key,
 
 def p_sample_loop(tables: DiffusionTables, model_fn: Callable, shape, key,
                   clip_denoised: bool = True, cond_fn: Optional[Callable] = None,
-                  noise=None, learn_sigma: bool = True):
+                  noise=None, learn_sigma: bool = True,
+                  predict_xstart: bool = False, sigma_small: bool = False):
     """Full ancestral chain as one lax.scan
     (ref: gaussian_diffusion.py:441-495)."""
     k_init, k_loop = jax.random.split(key)
@@ -118,7 +121,7 @@ def p_sample_loop(tables: DiffusionTables, model_fn: Callable, shape, key,
         k, k_step = jax.random.split(k)
         t = jnp.full((shape[0],), t_rev, jnp.int32)
         x, _ = p_sample(tables, model_fn, x, t, k_step, clip_denoised, cond_fn,
-                        learn_sigma)
+                        learn_sigma, predict_xstart, sigma_small)
         return (x, k), None
 
     (x, _), _ = lax.scan(step, (x, k_loop), jnp.arange(T - 1, -1, -1))
@@ -131,10 +134,13 @@ def p_sample_loop(tables: DiffusionTables, model_fn: Callable, shape, key,
 
 def ddim_sample(tables: DiffusionTables, model_fn: Callable, x, t, key,
                 eta: float = 0.0, clip_denoised: bool = True,
-                cond_fn: Optional[Callable] = None, learn_sigma: bool = True):
+                cond_fn: Optional[Callable] = None, learn_sigma: bool = True,
+                predict_xstart: bool = False, sigma_small: bool = False):
     """One DDIM step (ref: gaussian_diffusion.py:497-546)."""
     model_output = model_fn(x, t)
-    out = p_mean_variance(tables, model_output, x, t, clip_denoised, learn_sigma)
+    out = p_mean_variance(tables, model_output, x, t, clip_denoised,
+                          learn_sigma, predict_xstart=predict_xstart,
+                          sigma_small=sigma_small)
     if cond_fn is not None:
         out = condition_score(tables, cond_fn, out, x, t)
     nd = x.ndim
@@ -153,7 +159,8 @@ def ddim_sample(tables: DiffusionTables, model_fn: Callable, x, t, key,
 def ddim_sample_loop(tables: DiffusionTables, model_fn: Callable, shape, key,
                      eta: float = 0.0, clip_denoised: bool = True,
                      cond_fn: Optional[Callable] = None, noise=None,
-                     learn_sigma: bool = True):
+                     learn_sigma: bool = True, predict_xstart: bool = False,
+                     sigma_small: bool = False):
     """(ref: gaussian_diffusion.py:625-682)"""
     k_init, k_loop = jax.random.split(key)
     x = jax.random.normal(k_init, shape) if noise is None else noise
@@ -164,7 +171,7 @@ def ddim_sample_loop(tables: DiffusionTables, model_fn: Callable, shape, key,
         k, k_step = jax.random.split(k)
         t = jnp.full((shape[0],), t_rev, jnp.int32)
         x, _ = ddim_sample(tables, model_fn, x, t, k_step, eta, clip_denoised,
-                           cond_fn, learn_sigma)
+                           cond_fn, learn_sigma, predict_xstart, sigma_small)
         return (x, k), None
 
     (x, _), _ = lax.scan(step, (x, k_loop), jnp.arange(T - 1, -1, -1))
@@ -177,7 +184,8 @@ def ddim_sample_loop(tables: DiffusionTables, model_fn: Callable, shape, key,
 
 def vb_terms_bpd(tables: DiffusionTables, model_fn: Callable, x_start, x_t, t,
                  clip_denoised: bool = True, learn_sigma: bool = True,
-                 frozen_mean: bool = False):
+                 frozen_mean: bool = False, predict_xstart: bool = False,
+                 sigma_small: bool = False):
     """Variational bound term for one timestep, in bits-per-dim
     (ref: gaussian_diffusion.py:696-742)."""
     true_mean, _, true_log_var = q_posterior_mean_variance(tables, x_start, x_t, t)
@@ -188,7 +196,9 @@ def vb_terms_bpd(tables: DiffusionTables, model_fn: Callable, x_start, x_t, t,
         C = x_t.shape[-1]
         eps = lax.stop_gradient(model_output[..., :C])
         model_output = jnp.concatenate([eps, model_output[..., C:]], axis=-1)
-    out = p_mean_variance(tables, model_output, x_t, t, clip_denoised, learn_sigma)
+    out = p_mean_variance(tables, model_output, x_t, t, clip_denoised,
+                          learn_sigma, predict_xstart=predict_xstart,
+                          sigma_small=sigma_small)
     kl = normal_kl(true_mean, true_log_var, out["mean"], out["log_variance"])
     kl = _mean_flat(kl) / math.log(2.0)
     decoder_nll = -discretized_gaussian_log_likelihood(
@@ -200,10 +210,13 @@ def vb_terms_bpd(tables: DiffusionTables, model_fn: Callable, x_start, x_t, t,
 
 def training_losses(tables: DiffusionTables, model_fn: Callable, x_start, t,
                     key, loss_type: str = "mse", learn_sigma: bool = True,
-                    noise=None):
+                    noise=None, predict_xstart: bool = False,
+                    sigma_small: bool = False):
     """MSE / rescaled-MSE / KL training losses
     (ref: gaussian_diffusion.py:744-835). loss_type in
-    {mse, rescaled_mse, kl, rescaled_kl}."""
+    {mse, rescaled_mse, kl, rescaled_kl}. With `predict_xstart` (the
+    START_X mean type, ref: gaussian_diffusion.py:787-796) the MSE target
+    is x_start instead of the noise."""
     if noise is None:
         noise = jax.random.normal(key, x_start.shape, x_start.dtype)
     x_t = q_sample(tables, x_start, t, noise)
@@ -212,7 +225,9 @@ def training_losses(tables: DiffusionTables, model_fn: Callable, x_start, t,
     if loss_type in ("kl", "rescaled_kl"):
         terms["loss"] = vb_terms_bpd(tables, model_fn, x_start, x_t, t,
                                      clip_denoised=False,
-                                     learn_sigma=learn_sigma)["output"]
+                                     learn_sigma=learn_sigma,
+                                     predict_xstart=predict_xstart,
+                                     sigma_small=sigma_small)["output"]
         if loss_type == "rescaled_kl":
             terms["loss"] = terms["loss"] * T
         return terms
@@ -223,10 +238,11 @@ def training_losses(tables: DiffusionTables, model_fn: Callable, x_start, t,
                                    learn_sigma=True, frozen_mean=True)["output"]
         if loss_type == "rescaled_mse":
             terms["vb"] = terms["vb"] * T / 1000.0
-        eps_pred = model_output[..., :x_start.shape[-1]]
+        mean_pred = model_output[..., :x_start.shape[-1]]
     else:
-        eps_pred = model_output
-    terms["mse"] = _mean_flat((noise - eps_pred) ** 2)
+        mean_pred = model_output
+    target = x_start if predict_xstart else noise
+    terms["mse"] = _mean_flat((target - mean_pred) ** 2)
     terms["loss"] = terms["mse"] + terms.get("vb", 0.0)
     return terms
 

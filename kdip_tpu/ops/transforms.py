@@ -8,9 +8,13 @@ quadrant packing (pure reshapes + adds — bandwidth-bound, fully fused).
 
 Conventions:
 - Images are NHWC [B, H, W, C].
-- `dct`/`idct` transform over *all* axes (matching the reference's
-  scipy `dctn(x)` with default axes=None, condition/utils.py:94 — including
-  the batch and channel axes).
+- `dct`/`idct` transform over every axis EXCEPT axis 0 (the batch axis).
+  The reference's scipy `dctn(x)` with axes=None (condition/utils.py:94)
+  transforms all axes, but it only ever runs under a batch==1 assertion
+  where the batch-axis DCT is the identity; excluding axis 0 keeps exact
+  parity there while making batch>1 per-image correct (ADVICE r1: the
+  all-axes version silently coupled images through the basis). Inputs must
+  therefore carry the batch axis — pass [1, H, W, C], not [H, W].
 - `dwt` packs coefficients in the standard quadrant layout of
   pywt.coeffs_to_array (approximation top-left, finest details in the outer
   quadrants), applied over (H, W) per channel, Haar filters

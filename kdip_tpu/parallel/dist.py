@@ -38,18 +38,26 @@ def setup_dist(coordinator_address: Optional[str] = None,
     With no arguments, relies on the cluster environment (TPU pod metadata
     or JAX_COORDINATOR_ADDRESS etc.); silently does nothing when the
     environment describes a single process.
+
+    NB: must run before any JAX computation touches a backend — so the
+    multi-process decision is made purely from the environment, never by
+    querying jax (jax.process_count() would itself initialize the backend
+    and make jax.distributed.initialize() impossible afterwards).
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
     import os
     has_env = (coordinator_address is not None
                or os.environ.get("JAX_COORDINATOR_ADDRESS")
                or os.environ.get("COORDINATOR_ADDRESS"))
     if not has_env:
         return  # single process — nothing to set up
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        # already initialized (e.g. by the TPU runtime) — keep going
+        if "already" not in str(e).lower():
+            raise
 
 
 def dev():

@@ -16,8 +16,10 @@ framework's Flax modules and DiffusionTables instead of torch modules:
 plus the enum flags the reference encodes as SpacedDiffusion attributes
 (learn_sigma -> LEARNED_RANGE, sigma_small -> FIXED_SMALL, predict_xstart ->
 START_X, use_kl/rescale_learned_sigmas -> loss type,
-ref: script_util.py:386-424). Pass spec fields into diffusion.p_mean_variance
-/ ddpm_sampling.training_losses, which accept them as keywords.
+ref: script_util.py:386-424). diffusion.p_mean_variance,
+ddpm_sampling.training_losses, and the p_sample/ddim sampling loops all
+accept learn_sigma/predict_xstart/sigma_small as keywords (START_X losses
+parity-tested in tests/test_script_util.py).
 """
 
 from __future__ import annotations

@@ -321,7 +321,7 @@ def test_sample_condition_cli_resume(tiny_env):
 
     assert avg_res["psnr"] == pytest.approx(avg_full["psnr"], abs=1e-4)
     lines = open(os.path.join(part_dir, "metrics.jsonl")).read().splitlines()
-    assert len(lines) == 3
+    assert len(lines) == 4  # header + 3 images
 
 
 def test_mle_sigma_thres_defaults_per_mode():
