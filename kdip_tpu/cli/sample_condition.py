@@ -267,7 +267,11 @@ def main(argv=None):
                "mle_sigma_thres": mle_thres, "zeta": args.zeta,
                "lam": args.lam, "eta": args.eta,
                "cg_maxiter": args.cg_maxiter, "seed": args.seed,
-               "n": args.n, "v2": args.v2, "operator": args.operator_config}
+               "n": args.n, "v2": args.v2, "operator": args.operator_config,
+               # per-image keys are folded by batch-start index, so a resumed
+               # run with a different batch layout would produce different
+               # samples for the remaining images — refuse it
+               "batch_size": args.batch_size, "dp": args.dp}
     if args.resume and os.path.exists(journal_path):
         with open(journal_path) as f:
             lines = f.read().splitlines()

@@ -235,7 +235,9 @@ def training_losses(tables: DiffusionTables, model_fn: Callable, x_start, t,
     if learn_sigma:
         terms["vb"] = vb_terms_bpd(tables, lambda *_: model_output, x_start,
                                    x_t, t, clip_denoised=False,
-                                   learn_sigma=True, frozen_mean=True)["output"]
+                                   learn_sigma=True, frozen_mean=True,
+                                   predict_xstart=predict_xstart,
+                                   sigma_small=sigma_small)["output"]
         if loss_type == "rescaled_mse":
             terms["vb"] = terms["vb"] * T / 1000.0
         mean_pred = model_output[..., :x_start.shape[-1]]

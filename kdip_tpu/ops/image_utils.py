@@ -177,10 +177,16 @@ def imresize_matrix(in_length: int, scale: float,
     indices = indices[:, col0:col1].astype(np.int64) - 1  # 0-based
 
     # Fold the symmetric boundary extension into the matrix columns.
+    # Iterate the reflection: for very strong downscales the kernel can be
+    # wider than 2*in_length, so one reflection may land out of range again
+    # (numpy's negative indexing would then silently hit a wrong column).
     mat = np.zeros((out_length, in_length), dtype=np.float64)
     idx = indices.copy()
-    idx = np.where(idx < 0, -idx - 1, idx)
-    idx = np.where(idx >= in_length, 2 * in_length - 1 - idx, idx)
+    for _ in range(max(1, int(math.ceil(kernel_width / (2 * in_length))) + 1)):
+        idx = np.where(idx < 0, -idx - 1, idx)
+        idx = np.where(idx >= in_length, 2 * in_length - 1 - idx, idx)
+    assert (idx >= 0).all() and (idx < in_length).all(), \
+        f"boundary reflection failed for scale={scale}, in_length={in_length}"
     rows = np.repeat(np.arange(out_length), idx.shape[1])
     np.add.at(mat, (rows, idx.ravel()), weights.ravel())
     return mat

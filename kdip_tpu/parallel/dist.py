@@ -35,9 +35,14 @@ def setup_dist(coordinator_address: Optional[str] = None,
     """Initialize the JAX distributed runtime once per process
     (ref: dist_util.py:21-42).
 
-    With no arguments, relies on the cluster environment (TPU pod metadata
-    or JAX_COORDINATOR_ADDRESS etc.); silently does nothing when the
-    environment describes a single process.
+    With no arguments, inspects the environment: an explicit coordinator
+    (JAX_COORDINATOR_ADDRESS / COORDINATOR_ADDRESS) or a recognised
+    cluster launcher (TPU pod metadata: TPU_WORKER_HOSTNAMES /
+    TPU_PROCESS_ADDRESSES / MEGASCALE_COORDINATOR_ADDRESS; Slurm:
+    SLURM_JOB_ID; Open MPI: OMPI_COMM_WORLD_SIZE) triggers
+    `jax.distributed.initialize` — bare in the cluster case, so JAX's own
+    cluster auto-detection fills in the coordinator/rank. With none of
+    those markers present this is a no-op (single process).
 
     NB: must run before any JAX computation touches a backend — so the
     multi-process decision is made purely from the environment, never by
@@ -45,19 +50,38 @@ def setup_dist(coordinator_address: Optional[str] = None,
     and make jax.distributed.initialize() impossible afterwards).
     """
     import os
-    has_env = (coordinator_address is not None
-               or os.environ.get("JAX_COORDINATOR_ADDRESS")
-               or os.environ.get("COORDINATOR_ADDRESS"))
-    if not has_env:
+    has_addr = (coordinator_address is not None
+                or os.environ.get("JAX_COORDINATOR_ADDRESS")
+                or os.environ.get("COORDINATOR_ADDRESS"))
+    # cluster launchers jax.distributed.initialize() can auto-detect
+    # without an explicit address (jax._src.clusters registry);
+    # TPU_WORKER_HOSTNAMES only signals a pod when it lists >1 host
+    # (single-worker TPU VMs set it to 'localhost')
+    in_cluster = (
+        len(os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1
+        or len(os.environ.get("TPU_PROCESS_ADDRESSES", "").split(",")) > 1
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+        or os.environ.get("SLURM_JOB_ID")
+        or os.environ.get("OMPI_COMM_WORLD_SIZE"))
+    if not has_addr and not in_cluster:
         return  # single process — nothing to set up
     try:
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+        if has_addr:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        else:
+            jax.distributed.initialize()  # cluster auto-detection
     except RuntimeError as e:
         # already initialized (e.g. by the TPU runtime) — keep going
         if "already" not in str(e).lower():
             raise
+    except ValueError:
+        # a cluster marker was present but JAX's auto-detection could not
+        # resolve a coordinator (e.g. a single-worker launcher env) —
+        # treat as single process, like the reference's is_initialized()
+        # early-out (ref: dist_util.py:24-26)
+        pass
 
 
 def dev():

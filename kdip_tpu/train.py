@@ -194,6 +194,13 @@ def analytic_variance(denoise: Callable, data_batches, sigmas, key,
     errors = []
     for i, sigma in enumerate(sigmas):
         if i in done:  # journaled resume; keys are index-folded, so the
+            # a journal written with a different --num-sigmas (or sigma
+            # range) would silently mix MSEs from a different grid
+            if abs(done[i]["sigma"] - float(sigma)) > 1e-6 * (1 + abs(float(sigma))):
+                raise SystemExit(
+                    f"journal {journal_path} entry {i} was computed at "
+                    f"sigma={done[i]['sigma']}, current grid has "
+                    f"{float(sigma)}; use a fresh journal")
             mses.append(done[i]["mse"])     # result equals a fresh run
             errors.append(done[i]["err"])
             continue

@@ -323,6 +323,13 @@ def test_sample_condition_cli_resume(tiny_env):
     lines = open(os.path.join(part_dir, "metrics.jsonl")).read().splitlines()
     assert len(lines) == 4  # header + 3 images
 
+    # per-image keys fold the batch-start index, so a resume with a
+    # different batch layout must be refused, not silently mixed
+    with pytest.raises(SystemExit, match="different settings"):
+        sample_condition.main(
+            base + ["--logdir", part_dir, "--max-images", "3", "--resume",
+                    "--batch-size", "3"])
+
 
 def test_mle_sigma_thres_defaults_per_mode():
     """The unified CLI resolves --mle-sigma-thres like the reference's two

@@ -173,3 +173,39 @@ def test_training_losses_predict_xstart_matches_reference(reference_path):
         jax.random.key(0), learn_sigma=False, predict_xstart=True,
         noise=jnp.asarray(noise.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got["loss"]), want, atol=1e-5)
+
+
+def test_training_losses_predict_xstart_learn_sigma_matches_reference(
+        reference_path):
+    """learn_sigma=True + predict_xstart=True: the frozen-mean VB term must
+    interpret the mean head as START_X, not EPSILON
+    (ref: gaussian_diffusion.py:771-796)."""
+    import torch
+    from guided_diffusion import gaussian_diffusion as gd
+    from guided_diffusion.respace import SpacedDiffusion, space_timesteps
+
+    from kdip_tpu import ddpm_sampling
+
+    betas = gd.get_named_beta_schedule("linear", 1000)
+    tables = diffusion.make_diffusion(1000, "linear", timestep_respacing=[50])
+    ref_diff = SpacedDiffusion(
+        use_timesteps=space_timesteps(1000, [50]), betas=betas,
+        model_mean_type=gd.ModelMeanType.START_X,
+        model_var_type=gd.ModelVarType.LEARNED_RANGE,
+        loss_type=gd.LossType.MSE)
+
+    rng = np.random.RandomState(1)
+    x0 = rng.randn(2, 3, 8, 8).astype(np.float32)
+    out = rng.randn(2, 6, 8, 8).astype(np.float32)
+    noise = rng.randn(2, 3, 8, 8).astype(np.float32)
+    t = np.array([0, 30])
+
+    want = ref_diff.training_losses(
+        lambda xx, tt: torch.tensor(out), torch.tensor(x0),
+        torch.tensor(t), noise=torch.tensor(noise))["loss"].numpy()
+    got = ddpm_sampling.training_losses(
+        tables, lambda xx, tt: jnp.asarray(out.transpose(0, 2, 3, 1)),
+        jnp.asarray(x0.transpose(0, 2, 3, 1)), jnp.asarray(t),
+        jax.random.key(0), learn_sigma=True, predict_xstart=True,
+        noise=jnp.asarray(noise.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got["loss"]), want, atol=1e-5)
