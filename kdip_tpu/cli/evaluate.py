@@ -41,6 +41,11 @@ def main(argv=None):
                         "instead of distribution metrics")
     p.add_argument("--lpips-weights", default=None,
                    help="converted LPIPS .npz for paired mode")
+    p.add_argument("--dp", action="store_true",
+                   help="shard feature extraction over a data-parallel "
+                        "device mesh — the TPU-native form of the "
+                        "reference's accelerate gather "
+                        "(k_diffusion/evaluation.py:53-63)")
     p.add_argument("--out", default=None, help="optional JSON output path")
     args = p.parse_args(argv)
 
@@ -83,12 +88,35 @@ def main(argv=None):
             x = jax.image.resize(batch, (batch.shape[0], 32, 32, 3), "bilinear")
             return x.reshape(x.shape[0], -1)
 
+    mesh = None
+    if args.dp:
+        from ..parallel import sharding as sh
+        mesh = sh.make_mesh()
+
     def folder_features(path):
         ds = FolderOfImages(path, size=args.size)
         n = len(ds) if args.max_images is None else min(args.max_images, len(ds))
         feats = []
         for batch in ds.batches(args.batch_size):
-            feats.append(np.asarray(extractor(jnp.asarray(batch))))
+            batch = np.asarray(batch)
+            real_n = batch.shape[0]
+            if mesh is not None:
+                # pad the tail batch so its leading dim shards evenly, then
+                # place it batch-sharded over the mesh; XLA runs the
+                # backbone per-shard and the host gather replaces the
+                # reference's accelerate.gather
+                from ..parallel import sharding as sh
+                d = mesh.devices.size
+                pad = (-real_n) % d
+                if pad:
+                    batch = np.concatenate(
+                        [batch, np.zeros((pad,) + batch.shape[1:],
+                                         batch.dtype)])
+                placed = sh.shard_batch(jnp.asarray(batch), mesh)
+                out = np.asarray(extractor(placed))[:real_n]
+            else:
+                out = np.asarray(extractor(jnp.asarray(batch)))
+            feats.append(out)
             if sum(f.shape[0] for f in feats) >= n:
                 break
         return jnp.asarray(np.concatenate(feats)[:n])

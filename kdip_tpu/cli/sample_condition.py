@@ -307,6 +307,14 @@ def main(argv=None):
     avg = metrics.calculate_average_metric(metrics_list)
     avg["wall_clock_per_image"] = (time.time() - t_start) / max(
         1, len(metrics_list))
+    if "lpips" in avg:
+        # the flax LPIPS graph + converter are validated against a torch
+        # mirror, but no published lpips/torchvision weight file has flowed
+        # through in this environment — label the number accordingly until
+        # one has (VERDICT r2 weak #2)
+        avg["lpips_note"] = ("computed with converted weights; converter "
+                            "unvalidated against published lpips package "
+                            "outputs in this environment")
     print(avg, flush=True)
     save_yaml(avg, os.path.join(args.logdir, "avg_metrics.yaml"))
     return avg

@@ -67,9 +67,11 @@ class GuidanceConfig:
     # to be near-isotropic.
     cg_precondition: bool = False
     # Print a device-side warning when a CG solve exits above tolerance
-    # (the reference's scipy warning, condition.py:344-345). Costs one
-    # extra matvec + host callback per solve; off by default.
-    cg_warn: bool = False
+    # (the reference's scipy warning, condition.py:344-345). The residual
+    # is read from the CG loop state so the check costs nothing; on by
+    # default — silent truncation in the wide-dynamic-range tmpd regime
+    # is exactly where a bad solve would corrupt results.
+    cg_warn: bool = True
     # autoI probe count for the stochastic trace term
     num_probes: int = 8
     # Rematerialize the denoiser in guidance VJPs (numerically identical).
@@ -218,21 +220,77 @@ def make_kdiff_v2_uncond(model_apply: Callable, cfg: GuidanceConfig,
 # pulled back through A^T where applicable (ref: condition.py:303-439)
 # ---------------------------------------------------------------------------
 
+def _cg_with_residual(matvec, b, tol, maxiter, M=None):
+    """Conjugate gradients mirroring jax.scipy.sparse.linalg.cg's update
+    order exactly (jax/_src/scipy/sparse/linalg.py:103-136: same vdot
+    precision, same dtype casts, same stopping rule), so iterates are
+    bit-identical to `jax_cg` — but additionally returning the loop-carried
+    residual norm^2 and the convergence threshold, which makes a
+    non-convergence check free (no extra matvec). Real arrays only.
+    Never differentiated through: every caller stop_gradients the result."""
+    from functools import partial
+    rdot = partial(jnp.vdot, precision=lax.Precision.HIGHEST)
+    m_identity = M is None
+    if m_identity:
+        M = lambda v: v
+    bs = rdot(b, b)
+    atol2 = jnp.square(jnp.asarray(tol, bs.dtype)) * bs
+    x0 = jnp.zeros_like(b)
+    r0 = b - matvec(x0)
+    p0 = z0 = M(r0)
+    gamma0 = rdot(r0, z0).astype(b.dtype)
+
+    def cond_fun(value):
+        _, r, gamma, _, k = value
+        rs = gamma.real if m_identity else rdot(r, r)
+        return (rs > atol2) & (k < maxiter)
+
+    def body_fun(value):
+        x, r, gamma, p, k = value
+        Ap = matvec(p)
+        alpha = gamma / rdot(p, Ap).astype(b.dtype)
+        x_ = x + alpha * p
+        r_ = r - alpha * Ap
+        z_ = M(r_)
+        gamma_ = rdot(r_, z_).astype(b.dtype)
+        beta_ = gamma_ / gamma
+        p_ = z_ + beta_ * p
+        return x_, r_, gamma_, p_, k + 1
+
+    x, r, gamma, _, _ = lax.while_loop(
+        cond_fun, body_fun, (x0, r0, gamma0, p0, 0))
+    rs = gamma.real if m_identity else rdot(r, r)
+    return x, rs, atol2
+
+
+def _host_callbacks_supported() -> bool:
+    """jax.debug.print needs host send/recv callbacks, which some PJRT
+    plugins (the axon TPU tunnel) do not implement — there the warning
+    cannot even be lowered, so it is gated at trace time. The axon plugin
+    registers a backend named 'axon' that reports platform 'tpu', so the
+    registry (not default_backend()) is the reliable probe."""
+    try:
+        from jax._src import xla_bridge
+        return "axon" not in xla_bridge.backends()
+    except Exception:
+        return True
+
+
 def _cg(matvec, b, cfg: GuidanceConfig, M=None):
-    x, _ = jax_cg(matvec, b, tol=cfg.cg_tol, maxiter=cfg.cg_maxiter,
-                  M=M if cfg.cg_precondition else None)
-    if cfg.cg_warn:
+    x, rs, atol2 = _cg_with_residual(
+        matvec, b, cfg.cg_tol, cfg.cg_maxiter,
+        M=M if cfg.cg_precondition else None)
+    if cfg.cg_warn and _host_callbacks_supported():
         # the reference warns when scipy CG exits without converging
-        # (condition.py:344-345); under jit we check the residual with one
-        # extra matvec and print from the device. Off by default (adds a
-        # matvec + host print per solve).
-        res = jnp.linalg.norm((b - matvec(x)).ravel())
-        ref = jnp.linalg.norm(b.ravel())
-        jax.lax.cond(
-            res > cfg.cg_tol * ref,
+        # (condition.py:344-345). The residual comes from the CG loop state,
+        # so the check is free — on by default.
+        lax.cond(
+            rs > atol2,
             lambda: jax.debug.print(
                 "CG did not converge in {m} iters: |r|/|b| = {r}",
-                m=cfg.cg_maxiter, r=res / ref),
+                m=cfg.cg_maxiter, r=jnp.sqrt(rs / jnp.maximum(
+                    atol2 / jnp.square(jnp.asarray(cfg.cg_tol, rs.dtype)),
+                    jnp.finfo(rs.dtype).tiny))),
             lambda: None)
     return x
 

@@ -5,9 +5,10 @@ Native replacements for the reference's kernel sources:
   scipy.ndimage.gaussian_filter on a delta — i.e. a truncated discrete
   Gaussian; we evaluate the same thing directly).
 - Random-walk motion blur PSF synthesis (ref: motionblur/motionblur.py:52-419:
-  a random spline path rasterized and Gaussian-softened). We implement a
-  numpy rasterizer with the same statistical character (intensity parameter
-  controls path wiggle/curvature) without the PIL drawing dependency.
+  a random spline path rasterized and Gaussian-softened). ``motion_blur_kernel``
+  replays the reference's numpy RNG draw order and PIL line rasterization
+  exactly, so kernels are per-seed bit-identical to the reference
+  (tests/test_motionblur.py).
 - Loaders for the fixed .npy / .mat kernels the reference pins for its
   experiments (ref: condition/measurements.py:95, 134, 173).
 """

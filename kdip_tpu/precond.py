@@ -137,6 +137,38 @@ def make_discrete_v_denoiser(model_apply: Callable, log_sigmas: jnp.ndarray,
     return denoise
 
 
+def sigmas_from_alphas_cumprod(alphas_cumprod) -> jnp.ndarray:
+    """Discrete sigma table from a DDPM model's alphas_cumprod:
+    sigma_t = ((1 - abar_t) / abar_t) ** 0.5
+    (ref: k_diffusion/external.py:92, 185 — the table both
+    DiscreteEpsDDPMDenoiser and DiscreteVDDPMDenoiser derive)."""
+    a = jnp.asarray(alphas_cumprod, jnp.float32)
+    return ((1 - a) / a) ** 0.5
+
+
+def make_compvis_eps_denoiser(model_apply: Callable, alphas_cumprod,
+                              quantize: bool = False) -> Callable:
+    """Named counterpart of the reference's CompVisDenoiser
+    (ref: k_diffusion/external.py:172-179): a discrete eps denoiser whose
+    sigma table comes from the wrapped model's alphas_cumprod. The
+    reference routes through `model.apply_model(x, t, cond)`; here
+    `model_apply(params, x_scaled, t, **kw)` plays that role (pass
+    conditioning through **kw)."""
+    log_sigmas = jnp.log(sigmas_from_alphas_cumprod(alphas_cumprod))
+    return make_discrete_eps_denoiser(model_apply, log_sigmas,
+                                      quantize=quantize)
+
+
+def make_compvis_v_denoiser(model_apply: Callable, alphas_cumprod,
+                            quantize: bool = False) -> Callable:
+    """Named counterpart of CompVisVDenoiser / DiscreteVDDPMDenoiser
+    (ref: k_diffusion/external.py:182-231); sigma_data is fixed at 1 like
+    the reference (external.py:188)."""
+    log_sigmas = jnp.log(sigmas_from_alphas_cumprod(alphas_cumprod))
+    return make_discrete_v_denoiser(model_apply, log_sigmas,
+                                    quantize=quantize, sigma_data=1.0)
+
+
 def schedule_sigmas(log_sigmas: jnp.ndarray, n: Optional[int] = None) -> jnp.ndarray:
     """Sampling schedule from a discrete sigma table
     (ref: k_diffusion/external.py:60-65 DiscreteSchedule.get_sigmas):

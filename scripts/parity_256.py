@@ -159,6 +159,13 @@ def main():
     p.add_argument("--configs", nargs="+", default=list(CONFIGS))
     p.add_argument("--steps", type=int, default=2)
     p.add_argument("--skip-cg-study", action="store_true")
+    p.add_argument("--cg-tight", action="store_true",
+                   help="two-sided CG convergence study (VERDICT r2 next #1):"
+                        " patch the REFERENCE's scipy cg calls "
+                        "(condition.py:343,379,432) to rtol=1e-7/"
+                        "maxiter=10000 and run OUR solver at the same "
+                        "tolerance, so both stacks converge to the same "
+                        "fixed point; results land under 'cg_tight'")
     p.add_argument("--v2", action="store_true",
                    help="run the learned-covariance (V2) configs instead of "
                         "the v1 covariance matrix; merges into --out under "
@@ -172,6 +179,23 @@ def main():
     from k_diffusion.sampling import sample_euler as ref_sample_euler
 
     from kdip_tpu import guidance, samplers, schedules
+
+    our_cg_tol, our_cg_maxiter = 1e-4, 1000
+    if args.cg_tight:
+        # patch the reference's module-level `cg` name so every solver call
+        # (condition.py:343,379,432) runs at matched tight tolerance; ours
+        # gets the same numbers through GuidanceConfig below
+        import condition.condition as _cc
+        _orig_cg = _cc.cg
+
+        def _tight_cg(A, b, *a, **kw):
+            kw.pop("tol", None)
+            kw.pop("rtol", None)
+            kw["maxiter"] = 10000
+            return _orig_cg(A, b, *a, rtol=1e-7, **kw)
+
+        _cc.cg = _tight_cg
+        our_cg_tol, our_cg_maxiter = 1e-7, 10000
 
     t_unet, diff_ref, f_model, params, tables = build_models()
 
@@ -221,7 +245,8 @@ def main():
 
             gcfg = guidance.GuidanceConfig(
                 guidance=c["guidance"], x0_cov_type=c["cov"],
-                zeta=c.get("zeta"), lambda_=c.get("lambda_"), cg_maxiter=1000)
+                zeta=c.get("zeta"), lambda_=c.get("lambda_"),
+                cg_tol=our_cg_tol, cg_maxiter=our_cg_maxiter)
             uncond, var_fn = guidance.make_openai_uncond(
                 model_apply, tables, gcfg,
                 recon_mse=recon_ours if c["cov"] == "analytic" else None)
@@ -242,7 +267,13 @@ def main():
             rec = {"max_abs": float(diff.max()), "mean_abs": float(diff.mean()),
                    "psnr_between": round(psnr, 2),
                    "ref_sec": round(t_ref, 1), "ours_sec": round(t_ours, 1)}
-            results["trajectories"][f"{op_name}/{cfg_name}"] = rec
+            if args.cg_tight:
+                rec["cg"] = {"tol": our_cg_tol, "maxiter": our_cg_maxiter,
+                             "both_sides": True}
+                results.setdefault("cg_tight", {})[
+                    f"{op_name}/{cfg_name}"] = rec
+            else:
+                results["trajectories"][f"{op_name}/{cfg_name}"] = rec
             print(f"{op_name}/{cfg_name}: {rec}", flush=True)
             with open(args.out, "w") as f:  # incremental: survive crashes
                 json.dump(results, f, indent=2)

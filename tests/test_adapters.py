@@ -59,3 +59,43 @@ def test_edm_denoiser_factory():
     # model output 0 => x0 = c_skip * x
     c_skip = 0.5 ** 2 / (0.5 ** 2 + 0.5 ** 2)
     np.testing.assert_allclose(np.asarray(out), c_skip, rtol=1e-6)
+
+
+def test_compvis_adapters_vs_reference(reference_path):
+    """The named CompVis surface: sigma table from alphas_cumprod
+    (ref: external.py:172-179 CompVisDenoiser, 211-218 CompVisVDenoiser)."""
+    import torch
+    from k_diffusion.external import CompVisDenoiser, CompVisVDenoiser
+
+    betas = diffusion.get_named_beta_schedule("linear", 1000)
+    ac = np.cumprod(1 - betas)
+
+    class InnerEps(torch.nn.Module):
+        alphas_cumprod = torch.tensor(ac)
+
+        def apply_model(self, x, t, cond=None):
+            return x * 0.3
+
+    class InnerV(InnerEps):
+        pass
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 4, 4, 3).astype(np.float32)
+
+    ref_eps = CompVisDenoiser(InnerEps(), quantize=True)
+    ours_eps = precond.make_compvis_eps_denoiser(
+        lambda p, xx, t: xx * 0.3, ac, quantize=True)
+    ref_v = CompVisVDenoiser(InnerV(), quantize=False)
+    ours_v = precond.make_compvis_v_denoiser(
+        lambda p, xx, t: xx * 0.3, ac, quantize=False)
+
+    for sigma in [0.1, 1.0, 20.0]:
+        st = torch.tensor([sigma, sigma])
+        want = ref_eps(torch.tensor(x.transpose(0, 3, 1, 2)), st).numpy()
+        got = np.asarray(ours_eps(None, jnp.asarray(x), jnp.float32(sigma)))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                                   rtol=1e-4, atol=1e-5)
+        want = ref_v(torch.tensor(x.transpose(0, 3, 1, 2)), st, cond=None).numpy()
+        got = np.asarray(ours_v(None, jnp.asarray(x), jnp.float32(sigma)))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                                   rtol=1e-4, atol=1e-5)

@@ -79,12 +79,14 @@ def test_cg_warn_fires_on_truncated_solve(capfd):
     diag = jnp.concatenate([jnp.ones(50) * 1e-3, jnp.ones(50) * 1e3])
     b = jnp.ones(100)
 
-    cfg = guidance.GuidanceConfig(cg_maxiter=2, cg_tol=1e-6, cg_warn=True)
+    # cg_warn left at its default: the warning must fire out of the box
+    cfg = guidance.GuidanceConfig(cg_maxiter=2, cg_tol=1e-6)
+    assert cfg.cg_warn  # correctness-first default, like the reference
     jax.block_until_ready(guidance._cg(lambda v: diag * v, b, cfg))
     out = capfd.readouterr()
     assert "CG did not converge" in out.out + out.err
 
-    cfg = guidance.GuidanceConfig(cg_maxiter=500, cg_tol=1e-6, cg_warn=True)
+    cfg = guidance.GuidanceConfig(cg_maxiter=500, cg_tol=1e-6)
     jax.block_until_ready(guidance._cg(lambda v: diag * v, b, cfg))
     out = capfd.readouterr()
     assert "CG did not converge" not in out.out + out.err

@@ -391,3 +391,52 @@ def test_sample_condition_cli_native_dct_var(tiny_env, reference_path):
         "--cg-maxiter", "20", "--max-images", "1", "--dtype", "float32"])
     assert np.isfinite(avg["psnr"])
     assert os.path.exists(os.path.join(logdir, "avg_metrics.yaml"))
+
+
+def test_evaluate_cli_fid_pipeline_with_dp(tiny_env, tmp_path):
+    """FID/KID through the full evaluate CLI path (VERDICT r2 next #5):
+    folder streaming -> backbone features -> fid/kid, including --dp
+    sharded feature extraction over the device mesh (the reference's
+    accelerate gather, k_diffusion/evaluation.py:53-63) and the inception
+    backbone with (random) converted weights through the same orbax
+    loading the real eval would use."""
+    from PIL import Image
+
+    from kdip_tpu.cli import evaluate
+
+    rng = np.random.RandomState(7)
+    fake_dir = tmp_path / "fake"
+    fake_dir.mkdir()
+    for i in range(3):
+        Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+            fake_dir / f"{i}.png")
+
+    base = [tiny_env["data"], str(fake_dir), "--size", "32",
+            "--batch-size", "2"]
+    out_dp = evaluate.main(base + ["--backbone", "pixels", "--dp"])
+    assert out_dp["n_real"] == out_dp["n_fake"] == 3
+    assert np.isfinite(out_dp["fid"]) and out_dp["fid"] > 0
+    assert np.isfinite(out_dp["kid"])
+
+    # sharded and unsharded extraction are the same computation
+    out_local = evaluate.main(base + ["--backbone", "pixels"])
+    assert out_dp["fid"] == pytest.approx(out_local["fid"], rel=1e-5)
+    assert out_dp["kid"] == pytest.approx(out_local["kid"], rel=1e-4, abs=1e-7)
+
+    # inception backbone end-to-end (random weights; 75px is the smallest
+    # size the v3 trunk reduces without collapsing)
+    import jax
+    import jax.numpy as jnp
+
+    from kdip_tpu import ckpt
+    from kdip_tpu.models.inception import InceptionV3Features
+
+    model = InceptionV3Features()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 75, 75, 3)))
+    wdir = tmp_path / "inc_weights"
+    ckpt.save_checkpoint(str(wdir), jax.tree.map(np.asarray, dict(variables)))
+
+    out_inc = evaluate.main(
+        [tiny_env["data"], str(fake_dir), "--size", "75", "--batch-size", "2",
+         "--backbone", "inception", "--weights", str(wdir), "--dp"])
+    assert np.isfinite(out_inc["fid"]) and out_inc["backbone"] == "inception"

@@ -112,3 +112,56 @@ def test_idwt2_matches_pywt_unpacking():
 def test_oracle_is_orthonormal():
     W = haar_dwt_matrix_1d(16)
     np.testing.assert_allclose(W @ W.T, np.eye(16), atol=1e-12)
+
+
+def test_dwt2_hand_computed_golden_vectors():
+    """Literal golden coefficients computed BY HAND from the Haar
+    definition (VERDICT r2 next #4a, offline variant: real pywt cannot be
+    obtained in this env, so full de-circularization is out of reach, but
+    these literals share no code with either the implementation or the
+    dense-matrix oracle above — a bug or shared misreading in the oracle
+    construction cannot also fabricate these numbers).
+
+    Per 2x2 block [[a,b],[c,d]]:
+      aa=(a+b+c+d)/2, ad=((a-b)+(c-d))/2, da=((a+b)-(c+d))/2,
+      dd=((a-b)-(c-d))/2
+    packed quadrants: [[aa, ad], [da, dd]]; level 2 recurses on aa."""
+    x = np.arange(1.0, 17.0).reshape(1, 4, 4, 1)  # NHWC
+
+    want_l1 = np.array([[7.0, 11.0, -1.0, -1.0],
+                        [23.0, 27.0, -1.0, -1.0],
+                        [-4.0, -4.0, 0.0, 0.0],
+                        [-4.0, -4.0, 0.0, 0.0]])
+    got = np.asarray(tfm.dwt2(jnp.asarray(x), level=1))[0, :, :, 0]
+    np.testing.assert_allclose(got, want_l1, atol=1e-5)
+
+    want_l2 = np.array([[34.0, -4.0, -1.0, -1.0],
+                        [-16.0, 0.0, -1.0, -1.0],
+                        [-4.0, -4.0, 0.0, 0.0],
+                        [-4.0, -4.0, 0.0, 0.0]])
+    got = np.asarray(tfm.dwt2(jnp.asarray(x), level=2))[0, :, :, 0]
+    np.testing.assert_allclose(got, want_l2, atol=1e-5)
+
+    # asymmetric input pins the ad-vs-da (cV-vs-cH) placement: only image
+    # row 0 is nonzero, so the step falls INSIDE the top block row and only
+    # the row-axis detail ('da', bottom-left quadrant) can see it
+    z = np.zeros((1, 4, 4, 1))
+    z[0, 0, :, 0] = 2.0  # only row 0 is 2
+    got = np.asarray(tfm.dwt2(jnp.asarray(z), level=1))[0, :, :, 0]
+    # block-row 0: [[2,2],[0,0]] per block -> aa=(2+2)/2=2, da=((2+2)-0)/2=2,
+    # ad=0, dd=0; block-row 1: zeros
+    want = np.array([[2.0, 2.0, 0.0, 0.0],
+                     [0.0, 0.0, 0.0, 0.0],
+                     [2.0, 2.0, 0.0, 0.0],
+                     [0.0, 0.0, 0.0, 0.0]])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # and the transposed case pins 'ad' (top-right): only column 0 is 2
+    zt = np.zeros((1, 4, 4, 1))
+    zt[0, :, 0, 0] = 2.0
+    got = np.asarray(tfm.dwt2(jnp.asarray(zt), level=1))[0, :, :, 0]
+    want = np.array([[2.0, 0.0, 2.0, 0.0],
+                     [2.0, 0.0, 2.0, 0.0],
+                     [0.0, 0.0, 0.0, 0.0],
+                     [0.0, 0.0, 0.0, 0.0]])
+    np.testing.assert_allclose(got, want, atol=1e-5)

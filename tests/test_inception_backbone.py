@@ -204,3 +204,37 @@ def test_inception_features_match_torch_mirror():
                                   jnp.asarray(x.transpose(0, 2, 3, 1))))
     assert ours.shape == ref.shape == (1, 2048)
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-4)
+
+
+def test_inception_converter_tree_matches_model_init_exactly():
+    """Converter <-> flax-init structural round-trip (VERDICT r2 next #4b):
+    the converted tree must have EXACTLY the leaf paths and shapes that
+    InceptionV3Features.init produces — a converted real checkpoint with a
+    missing/mis-routed tensor would silently fall back to random init
+    under flax's param merging, so structural equality is the guard."""
+    import jax
+    import jax.numpy as jnp
+
+    trunk = build_torch_inception()
+    converted = jinc.convert_inception_state_dict(trunk.state_dict())
+    model = jinc.InceptionV3Features()
+    want = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+
+    def leaf_paths(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(leaf_paths(v, prefix + (k,)))
+            else:
+                out[prefix + (k,)] = np.asarray(v).shape
+        return out
+
+    for col in ("params", "batch_stats"):
+        got = leaf_paths(converted[col])
+        exp = leaf_paths(jax.tree.map(np.asarray, dict(want[col])))
+        missing = set(exp) - set(got)
+        extra = set(got) - set(exp)
+        assert not missing, f"{col}: converter missed {sorted(missing)[:5]}"
+        assert not extra, f"{col}: converter invented {sorted(extra)[:5]}"
+        for path in exp:
+            assert got[path] == exp[path], (path, got[path], exp[path])

@@ -110,3 +110,68 @@ def test_lpips_zero_for_identical_inputs():
     x = np.random.RandomState(1).rand(1, 32, 32, 3).astype(np.float32)
     d = float(metrics.lpips_vgg(params, jnp.asarray(x), jnp.asarray(x))[0])
     assert abs(d) < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# Published state-dict layout round-trip (VERDICT r2 next #4b)
+# ---------------------------------------------------------------------------
+
+# The exact (key, shape) inventory of the conv weights in torchvision's
+# published vgg16 checkpoint (features.* Sequential indices: convs at
+# 0,2,5,7,10,12,14,17,19,21,24,26,28 with MaxPools at 4,9,16,23,30 —
+# torchvision/models/vgg.py cfg "D") and of the lpips package's vgg.pth
+# lin heads (lpips/lpips.py: lin{i}.model = [Dropout, Conv2d(C,1,1,bias=False)]).
+# Written down as literals so the converter is tested against the REAL
+# published layout, not against whatever the torch mirror above happens to
+# produce.
+VGG16_PUBLISHED_CONVS = [
+    ("features.0", (64, 3, 3, 3)), ("features.2", (64, 64, 3, 3)),
+    ("features.5", (128, 64, 3, 3)), ("features.7", (128, 128, 3, 3)),
+    ("features.10", (256, 128, 3, 3)), ("features.12", (256, 256, 3, 3)),
+    ("features.14", (256, 256, 3, 3)), ("features.17", (512, 256, 3, 3)),
+    ("features.19", (512, 512, 3, 3)), ("features.21", (512, 512, 3, 3)),
+    ("features.24", (512, 512, 3, 3)), ("features.26", (512, 512, 3, 3)),
+    ("features.28", (512, 512, 3, 3)),
+]
+LPIPS_PUBLISHED_LINS = {
+    f"lin{i}.model.1.weight": (1, c, 1, 1)
+    for i, c in enumerate([64, 128, 256, 512, 512])
+}
+
+
+def test_lpips_converter_consumes_published_checkpoint_layout():
+    """Synthesizes state dicts with the published checkpoints' exact keys
+    and shapes (incl. the classifier.* keys the converter must ignore) and
+    round-trips them through convert_lpips_weights + lpips_vgg."""
+    rng = np.random.RandomState(0)
+    vgg_sd = {}
+    for key, shape in VGG16_PUBLISHED_CONVS:
+        vgg_sd[f"{key}.weight"] = rng.randn(*shape).astype(np.float32) * 0.05
+        vgg_sd[f"{key}.bias"] = rng.randn(shape[0]).astype(np.float32) * 0.05
+    # the real torchvision file also carries the classifier head
+    vgg_sd["classifier.0.weight"] = rng.randn(4096, 25088).astype(np.float32)
+    vgg_sd["classifier.0.bias"] = rng.randn(4096).astype(np.float32)
+    lpips_sd = {k: np.abs(rng.randn(*s)).astype(np.float32)
+                for k, s in LPIPS_PUBLISHED_LINS.items()}
+
+    params = metrics.convert_lpips_weights(vgg_sd, lpips_sd)
+
+    # every conv mapped, HWIO-transposed, in published order
+    assert sorted(k for k in params if k.startswith("conv")) == sorted(
+        f"conv{i}" for i in range(13))
+    for i, (key, shape) in enumerate(VGG16_PUBLISHED_CONVS):
+        o, ich, kh, kw = shape
+        assert params[f"conv{i}"]["kernel"].shape == (kh, kw, ich, o)
+        np.testing.assert_array_equal(
+            params[f"conv{i}"]["kernel"],
+            vgg_sd[f"{key}.weight"].transpose(2, 3, 1, 0))
+    for i, c in enumerate([64, 128, 256, 512, 512]):
+        assert params[f"lin{i}"]["kernel"].shape == (c,)
+
+    # the converted tree drives the flax graph end-to-end
+    a = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    d = metrics.lpips_vgg(params, a, b)
+    assert np.isfinite(np.asarray(d)).all() and float(d[0]) > 0
+    np.testing.assert_allclose(np.asarray(metrics.lpips_vgg(params, a, a)),
+                               0.0, atol=1e-6)
