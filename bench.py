@@ -91,6 +91,35 @@ def main():
     dt = (time.time() - t0) / n_runs
 
     samples_per_sec = BATCH / dt
+
+    # ---- MFU accounting (VERDICT r2 next #3) ----
+    # XLA's cost analysis under-counts programs with loops (bodies counted
+    # once), so FLOPs are taken from the per-NFE unit — one guided denoise
+    # = model fwd + vjp (+ the CG/FFT solve, which cost_analysis includes
+    # in the same program) — and scaled by the NFE count analytically:
+    # 50-step stochastic Heun = 2 evals/step except the last = 99 NFEs.
+    mfu = tflops = flops_per_nfe = None
+    try:
+        def one_nfe(p, x, sigma):
+            def f(xx):
+                return model_apply(p, xx, jnp.broadcast_to(sigma, (1,)))
+            y, vjp = jax.vjp(f, x)
+            return y, vjp(jnp.ones_like(y))
+
+        c = (jax.jit(one_nfe)
+             .lower(params, jnp.zeros((1, 256, 256, 3)), jnp.float32(1.0))
+             .compile().cost_analysis())
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        flops_per_nfe = float(c["flops"])
+        nfes = 2 * STEPS - 1
+        flops_per_sample = flops_per_nfe * nfes
+        tflops = samples_per_sec * flops_per_sample / 1e12
+        peak = float(os.environ.get("KDIP_PEAK_TFLOPS", "197"))  # v5e bf16
+        mfu = tflops / peak
+    except Exception:
+        pass
+
     ref_sps, baseline_source = load_measured_baseline()
     print(json.dumps({
         "metric": "samples/sec/chip (FFHQ-256 guided 50-step Heun, Type-I convert, inpainting)",
@@ -99,6 +128,13 @@ def main():
         "vs_baseline": (round(samples_per_sec / ref_sps, 2)
                         if ref_sps else None),
         "baseline_source": baseline_source or "no measurement recorded",
+        "tflops_sustained": round(tflops, 1) if tflops else None,
+        "mfu": round(mfu, 3) if mfu else None,
+        "mfu_method": (f"compiled cost_analysis of one guided NFE "
+                       f"(fwd+vjp) = {flops_per_nfe/1e9:.0f} GFLOP x "
+                       f"{2*STEPS-1} NFEs/sample; peak "
+                       f"{os.environ.get('KDIP_PEAK_TFLOPS', '197')} "
+                       f"bf16 TFLOP/s (v5e)") if flops_per_nfe else None,
     }))
 
 

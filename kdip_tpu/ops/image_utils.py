@@ -30,6 +30,17 @@ __all__ = [
     "imresize_matrix", "imresize", "imresize_np",
     "calculate_psnr", "calculate_ssim",
     "imread_uint", "imsave",
+    # file-system / misc surface (ref: utils_image.py:25-123)
+    "IMG_EXTENSIONS", "is_image_file", "get_timestamp", "get_image_paths",
+    "mkdir", "mkdirs", "mkdir_and_rename", "todevice", "read_img",
+    # numpy <-> device-array converters (ref: utils_image.py:205-310)
+    "uint2tensor4", "uint2tensor3", "tensor2uint",
+    "single2tensor4", "single2tensor5", "single32tensor5", "single42tensor4",
+    "single2tensor3", "single2tensor2", "tensor2single", "tensor2single3",
+    "tensor2img",
+    # augmentation + channel conversion (ref: utils_image.py:316-533)
+    "augment_img", "augment_img_tensor4", "augment_img_np3",
+    "augment_img_tensor", "augment_imgs", "channel_convert",
 ]
 
 
@@ -321,3 +332,341 @@ def imsave(img: np.ndarray, img_path: str) -> None:
     from PIL import Image
     arr = np.squeeze(img)
     Image.fromarray(arr).save(img_path)
+
+
+# ---------------------------------------------------------------------------
+# File-system helpers (ref: utils_image.py:25-119)
+# ---------------------------------------------------------------------------
+
+IMG_EXTENSIONS = [".jpg", ".JPG", ".jpeg", ".JPEG", ".png", ".PNG",
+                  ".ppm", ".PPM", ".bmp", ".BMP", ".tif"]
+
+
+def is_image_file(filename: str) -> bool:
+    """ref: utils_image.py:25-26"""
+    return any(filename.endswith(ext) for ext in IMG_EXTENSIONS)
+
+
+def get_timestamp() -> str:
+    """ref: utils_image.py:29-30"""
+    from datetime import datetime
+    return datetime.now().strftime("%y%m%d-%H%M%S")
+
+
+def get_image_paths(dataroot):
+    """Sorted recursive image listing; None passes through
+    (ref: utils_image.py:66-89)."""
+    if dataroot is None:
+        return None
+    return sorted(_get_paths_from_images(dataroot))
+
+
+def _get_paths_from_images(path):
+    import os
+    assert os.path.isdir(path), f"{path} is not a valid directory"
+    images = []
+    for dirpath, _, fnames in sorted(os.walk(path)):
+        for fname in sorted(fnames):
+            if is_image_file(fname):
+                images.append(os.path.join(dirpath, fname))
+    assert images, f"{path} has no valid image file"
+    return images
+
+
+def mkdir(path: str) -> None:
+    """ref: utils_image.py:92-94"""
+    import os
+    os.makedirs(path, exist_ok=True)
+
+
+def mkdirs(paths) -> None:
+    """ref: utils_image.py:97-102"""
+    if isinstance(paths, str):
+        mkdir(paths)
+    else:
+        for path in paths:
+            mkdir(path)
+
+
+def mkdir_and_rename(path: str) -> None:
+    """Archive an existing dir under a timestamped name, then recreate
+    (ref: utils_image.py:105-110)."""
+    import os
+    if os.path.exists(path):
+        new_name = path + "_archived_" + get_timestamp()
+        print(f"Path already exists. Rename it to [{new_name}]")
+        os.rename(path, new_name)
+    os.makedirs(path)
+
+
+def todevice(x_list, device=None):
+    """Place a list of arrays on a device (ref: utils_image.py:122-123 —
+    there a `.to(cuda)` loop; here `jax.device_put` onto the default
+    accelerator or an explicit jax device/sharding)."""
+    import jax
+    return [jax.device_put(x, device) for x in x_list]
+
+
+def read_img(path: str) -> np.ndarray:
+    """HxWxC float32 in [0,1], BGR channel order, grayscale kept 2-D->3-D
+    (ref: utils_image.py:130-143 — cv2.imread semantics via PIL)."""
+    arr = imread_uint(path, n_channels=3)[:, :, ::-1]  # RGB -> BGR
+    img = arr.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = np.expand_dims(img, axis=2)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# numpy <-> device-array converters (ref: utils_image.py:205-310).
+# The reference converts to torch CHW tensors; the TPU-native "tensor" is a
+# jnp array with the SAME axis order and scaling, so call sites translate
+# one-for-one.
+# ---------------------------------------------------------------------------
+
+def _hwc(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 2:
+        img = np.expand_dims(img, axis=2)
+    return img
+
+
+def uint2tensor4(img: np.ndarray):
+    """uint HWC -> float [1,C,H,W] in [0,1] (ref: utils_image.py:209-212)."""
+    return jnp.asarray(_hwc(img).transpose(2, 0, 1), jnp.float32)[None] / 255.0
+
+
+def uint2tensor3(img: np.ndarray):
+    """uint HWC -> float [C,H,W] in [0,1] (ref: utils_image.py:216-219)."""
+    return jnp.asarray(_hwc(img).transpose(2, 0, 1), jnp.float32) / 255.0
+
+
+def tensor2uint(img) -> np.ndarray:
+    """float tensor -> uint8 HWC/HW (ref: utils_image.py:223-227)."""
+    arr = np.asarray(img, np.float32).squeeze().clip(0, 1)
+    if arr.ndim == 3:
+        arr = arr.transpose(1, 2, 0)
+    return np.uint8((arr * 255.0).round())
+
+
+def single2tensor4(img: np.ndarray):
+    """single HWC -> [1,C,H,W] (ref: utils_image.py:237-238)."""
+    return jnp.asarray(np.ascontiguousarray(img).transpose(2, 0, 1),
+                       jnp.float32)[None]
+
+
+def single2tensor5(img: np.ndarray):
+    """single HWCT -> [1,C,H,W,T] (ref: utils_image.py:241-242)."""
+    return jnp.asarray(np.ascontiguousarray(img).transpose(2, 0, 1, 3),
+                       jnp.float32)[None]
+
+
+def single32tensor5(img: np.ndarray):
+    """single HWT -> [1,1,H,W,T] (ref: utils_image.py:245-246)."""
+    return jnp.asarray(np.ascontiguousarray(img), jnp.float32)[None, None]
+
+
+def single42tensor4(img: np.ndarray):
+    """single HWCT -> [C,H,W,T] (ref: utils_image.py:249-250)."""
+    return jnp.asarray(np.ascontiguousarray(img).transpose(2, 0, 1, 3),
+                       jnp.float32)
+
+
+def single2tensor3(img: np.ndarray):
+    """single HWC -> [C,H,W] (ref: utils_image.py:254-255)."""
+    return jnp.asarray(np.ascontiguousarray(img).transpose(2, 0, 1),
+                       jnp.float32)
+
+
+def single2tensor2(img: np.ndarray):
+    """single HxWx1/HxW -> [H,W] (ref: utils_image.py:258-259)."""
+    return jnp.asarray(np.ascontiguousarray(img), jnp.float32).squeeze()
+
+
+def tensor2single(img) -> np.ndarray:
+    """tensor -> single HWC/HW, clipped to [0,1]
+    (ref: utils_image.py:262-267)."""
+    arr = np.asarray(img, np.float32).squeeze().clip(0, 1)
+    if arr.ndim == 3:
+        arr = arr.transpose(1, 2, 0)
+    return arr
+
+
+def tensor2single3(img) -> np.ndarray:
+    """Like tensor2single but a 2-D result keeps a channel axis — HxWx1
+    (ref: utils_image.py:269-275)."""
+    arr = tensor2single(img)
+    if arr.ndim == 2:
+        arr = np.expand_dims(arr, axis=2)
+    return arr
+
+
+def _make_grid_np(batch: np.ndarray, nrow: int, padding: int = 2) -> np.ndarray:
+    """torchvision.utils.make_grid semantics (normalize=False): tile BCHW
+    into C x grid_h x grid_w with `padding` zero pixels between cells."""
+    b, c, h, w = batch.shape
+    ncol = int(np.ceil(b / nrow)) if nrow else 1
+    nrow = min(nrow, b)
+    ymaps = int(np.ceil(b / nrow))
+    grid = np.zeros((c, padding + ymaps * (h + padding),
+                     padding + nrow * (w + padding)), batch.dtype)
+    k = 0
+    for y in range(ymaps):
+        for x in range(nrow):
+            if k >= b:
+                break
+            grid[:, padding + y * (h + padding):padding + y * (h + padding) + h,
+                 padding + x * (w + padding):padding + x * (w + padding) + w] \
+                = batch[k]
+            k += 1
+    return grid
+
+
+def tensor2img(tensor, out_type=np.uint8, min_max=(0, 1)) -> np.ndarray:
+    """4D/3D/2D tensor -> HWC/HW image array in BGR order
+    (ref: utils_image.py:279-310; the 4D branch reproduces
+    torchvision.utils.make_grid tiling)."""
+    arr = np.asarray(tensor, np.float32).squeeze()
+    arr = arr.clip(*min_max)
+    arr = (arr - min_max[0]) / (min_max[1] - min_max[0])
+    if arr.ndim == 4:
+        n_img = len(arr)
+        grid = _make_grid_np(arr, nrow=int(math.sqrt(n_img)))
+        img_np = grid[[2, 1, 0], :, :].transpose(1, 2, 0)
+    elif arr.ndim == 3:
+        img_np = arr[[2, 1, 0], :, :].transpose(1, 2, 0)
+    elif arr.ndim == 2:
+        img_np = arr
+    else:
+        raise TypeError(f"Only support 4D, 3D and 2D tensor. "
+                        f"But received with dimension: {arr.ndim}")
+    if out_type == np.uint8:
+        img_np = (img_np * 255.0).round()
+    return img_np.astype(out_type)
+
+
+# ---------------------------------------------------------------------------
+# Augmentations (ref: utils_image.py:316-426): the 8-element dihedral group
+# ---------------------------------------------------------------------------
+
+def augment_img(img, mode: int = 0):
+    """Dihedral-group augmentation of an HWC/HW numpy image
+    (ref: utils_image.py:316-333 — same mode table)."""
+    if mode == 0:
+        return img
+    elif mode == 1:
+        return np.flipud(np.rot90(img))
+    elif mode == 2:
+        return np.flipud(img)
+    elif mode == 3:
+        return np.rot90(img, k=3)
+    elif mode == 4:
+        return np.flipud(np.rot90(img, k=2))
+    elif mode == 5:
+        return np.rot90(img)
+    elif mode == 6:
+        return np.rot90(img, k=2)
+    elif mode == 7:
+        return np.flipud(np.rot90(img, k=3))
+    raise ValueError(mode)
+
+
+def augment_img_tensor4(img, mode: int = 0):
+    """Same group on a [B,C,H,W] device array (ref: utils_image.py:335-352;
+    jnp.rot90/flip are XLA ops, so this stays on device and jits)."""
+    x = jnp.asarray(img)
+    if mode == 0:
+        return x
+    elif mode == 1:
+        return jnp.flip(jnp.rot90(x, 1, axes=(2, 3)), axis=2)
+    elif mode == 2:
+        return jnp.flip(x, axis=2)
+    elif mode == 3:
+        return jnp.rot90(x, 3, axes=(2, 3))
+    elif mode == 4:
+        return jnp.flip(jnp.rot90(x, 2, axes=(2, 3)), axis=2)
+    elif mode == 5:
+        return jnp.rot90(x, 1, axes=(2, 3))
+    elif mode == 6:
+        return jnp.rot90(x, 2, axes=(2, 3))
+    elif mode == 7:
+        return jnp.flip(jnp.rot90(x, 3, axes=(2, 3)), axis=2)
+    raise ValueError(mode)
+
+
+def augment_img_np3(img: np.ndarray, mode: int = 0) -> np.ndarray:
+    """Transpose/flip variant on HWC numpy (ref: utils_image.py:354-379)."""
+    if mode == 0:
+        return img
+    elif mode == 1:
+        return img.transpose(1, 0, 2)
+    elif mode == 2:
+        return img[::-1, :, :]
+    elif mode == 3:
+        return img[::-1, :, :].transpose(1, 0, 2)
+    elif mode == 4:
+        return img[:, ::-1, :]
+    elif mode == 5:
+        return img[:, ::-1, :].transpose(1, 0, 2)
+    elif mode == 6:
+        return img[:, ::-1, :][::-1, :, :]
+    elif mode == 7:
+        return img[:, ::-1, :][::-1, :, :].transpose(1, 0, 2)
+    raise ValueError(mode)
+
+
+def augment_img_tensor(img, mode: int = 0):
+    """Round-trips a [C,H,W] / [B,C,H,W] device array through the numpy
+    augmentation (ref: utils_image.py:382-397)."""
+    arr = np.asarray(img)
+    ndim = arr.ndim
+    if ndim == 3:
+        arr = arr.transpose(1, 2, 0)
+    elif ndim == 4:
+        arr = arr.transpose(2, 3, 1, 0)
+    arr = augment_img(arr, mode=mode)
+    if ndim == 3:
+        arr = np.ascontiguousarray(arr).transpose(2, 0, 1)
+    elif ndim == 4:
+        arr = np.ascontiguousarray(arr).transpose(3, 2, 0, 1)
+    return jnp.asarray(np.ascontiguousarray(arr), jnp.asarray(img).dtype)
+
+
+def augment_imgs(img_list, hflip: bool = True, rot: bool = True, rng=None):
+    """Random horizontal-flip / rotation over a list of HWC images
+    (ref: utils_image.py:399-414). `rng`: optional numpy Generator /
+    RandomState for reproducibility (the reference uses global random)."""
+    import random as _random
+    draw = rng.random if rng is not None else _random.random
+    hflip = hflip and draw() < 0.5
+    vflip = rot and draw() < 0.5
+    rot90 = rot and draw() < 0.5
+
+    def _augment(img):
+        if hflip:
+            img = img[:, ::-1, :]
+        if vflip:
+            img = img[::-1, :, :]
+        if rot90:
+            img = img.transpose(1, 0, 2)
+        return img
+
+    return [_augment(img) for img in img_list]
+
+
+def channel_convert(in_c: int, tar_type: str, img_list):
+    """BGR <-> gray/y conversions over a list (ref: utils_image.py:522-533;
+    the cv2 color conversions are replaced with the ITU-R BT.601 weights
+    cv2 itself uses)."""
+    if in_c == 3 and tar_type == "gray":
+        # cv2.COLOR_BGR2GRAY: Y = 0.299 R + 0.587 G + 0.114 B
+        w = np.array([0.114, 0.587, 0.299], np.float32)  # BGR order
+        return [np.expand_dims((img.astype(np.float32) * w).sum(-1)
+                               .astype(img.dtype), axis=2)
+                for img in img_list]
+    elif in_c == 3 and tar_type == "y":
+        return [np.expand_dims(bgr2ycbcr(img, only_y=True), axis=2)
+                for img in img_list]
+    elif in_c == 1 and tar_type == "RGB":
+        return [np.repeat(img if img.ndim == 3 else img[:, :, None],
+                          3, axis=2) for img in img_list]
+    return img_list

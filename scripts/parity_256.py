@@ -46,7 +46,7 @@ CONFIGS = {
 }
 
 
-def build_models():
+def build_models(f64: bool = False):
     from guided_diffusion.script_util import (create_model_and_diffusion,
                                               model_and_diffusion_defaults)
 
@@ -61,9 +61,20 @@ def build_models():
                       diffusion_steps=1000, noise_schedule="linear"))
     t_unet, diff_ref = create_model_and_diffusion(**flags)
     t_unet.eval()
+    import jax
     import jax.numpy as jnp
-    f_model = adm.ffhq_unet(dtype=jnp.float32)
-    params = ckpt.convert_adm_state_dict(t_unet.state_dict())
+    if f64:
+        import torch as _torch
+        t_unet = t_unet.double()
+        # the reference UNet hard-casts its torso input to self.dtype
+        # (unet.py:467,656) — lift it to double with the params
+        t_unet.dtype = _torch.float64
+        f_model = adm.ffhq_unet(dtype=jnp.float64)
+        params = ckpt.convert_adm_state_dict(t_unet.state_dict())
+        params = jax.tree.map(lambda a: np.asarray(a, np.float64), params)
+    else:
+        f_model = adm.ffhq_unet(dtype=jnp.float32)
+        params = ckpt.convert_adm_state_dict(t_unet.state_dict())
     tables = diffusion.make_diffusion(1000, "linear")
     return t_unet, diff_ref, f_model, params, tables
 
@@ -159,6 +170,12 @@ def main():
     p.add_argument("--configs", nargs="+", default=list(CONFIGS))
     p.add_argument("--steps", type=int, default=2)
     p.add_argument("--skip-cg-study", action="store_true")
+    p.add_argument("--f64", action="store_true",
+                   help="run BOTH stacks in float64 (model, operator "
+                        "spectra, CG) — removes the f32 CG stagnation "
+                        "noise proven by scripts/cg_two_sided.py, so the "
+                        "tmpd outlier configs must meet the <=1e-3 parity "
+                        "bar; results land under 'f64_trajectories'")
     p.add_argument("--cg-tight", action="store_true",
                    help="two-sided CG convergence study (VERDICT r2 next #1):"
                         " patch the REFERENCE's scipy cg calls "
@@ -180,6 +197,9 @@ def main():
 
     from kdip_tpu import guidance, samplers, schedules
 
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+
     our_cg_tol, our_cg_maxiter = 1e-4, 1000
     if args.cg_tight:
         # patch the reference's module-level `cg` name so every solver call
@@ -197,7 +217,7 @@ def main():
         _cc.cg = _tight_cg
         our_cg_tol, our_cg_maxiter = 1e-7, 10000
 
-    t_unet, diff_ref, f_model, params, tables = build_models()
+    t_unet, diff_ref, f_model, params, tables = build_models(f64=args.f64)
 
     rng = np.random.RandomState(1)
     x0 = rng.rand(1, 3, SIZE, SIZE).astype(np.float32) * 2 - 1
@@ -210,8 +230,67 @@ def main():
     sigmas = schedules.get_sigmas_karras(args.steps, 0.01, 80.0)
     x_init = (rng.randn(1, 3, SIZE, SIZE) * 80.0).astype(np.float32)
 
+    if args.f64:
+        # lift BOTH stacks to double: measurements were generated in f32
+        # (production semantics, identical bytes both sides), everything
+        # downstream — model, operator spectra, CG — runs in f64
+        from torch.fft import fft2 as tfft2
+        from condition.measurements import pre_calculate
+
+        # the reference's timestep_embedding hardcodes float32
+        # (guided_diffusion/nn.py:113-117) and then feeds the double
+        # time_embed Linear; our flax embedding also computes the sinusoid
+        # in f32 and casts (models/layers.py:20-32), so cast-after matches
+        # both semantics bit-for-bit
+        import guided_diffusion.unet as _gu
+        import guided_diffusion.nn as _gn
+        _orig_te = _gu.timestep_embedding
+
+        def _te_double(timesteps, dim, max_period=10000):
+            return _orig_te(timesteps, dim, max_period).double()
+
+        _gu.timestep_embedding = _te_double
+
+        # GroupNorm32 hard-casts to f32 (nn.py:17-19); in the f64 run the
+        # statistics must be double like our flax GroupNorm's
+        def _gn_double(self, x):
+            return torch.nn.GroupNorm.forward(self, x.double()).type(x.dtype)
+
+        _gn.GroupNorm32.forward = _gn_double
+
+        x_init = x_init.astype(np.float64)
+        x0_t64 = x0_t.double()
+
+        def ours_f64(a):
+            a = jnp.asarray(a)
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                return a.astype(jnp.float64)
+            return a
+
+        tables = jax.tree.map(ours_f64, tables)
+        for name in list(ops):
+            ref_op, ref_meas, our_op, our_meas = ops[name]
+            ref_op.sigma_s = ref_op.sigma_s.double()
+            y64 = ref_meas[0].double()
+            ref_meas = (y64, y64.reshape(y64.shape[0], -1))
+            if hasattr(ref_op, "kernel"):
+                ref_op.kernel = ref_op.kernel.double()
+            if name in ("gaussian_blur", "motion_blur"):
+                k = ref_op.get_kernel()
+                FB, FBC, F2B, _ = pre_calculate(x0_t64, k, 1)
+                ref_op.pre_calculated = (FB, FBC, F2B, FBC * tfft2(y64))
+            elif name == "super_resolution":
+                k = ref_op.get_kernel()
+                ref_op.pre_calculated = pre_calculate(
+                    y64, k, ref_op.scale_factor)
+            elif name == "inpainting":
+                ref_op.mask = ref_op.mask.double()
+            our_op = jax.tree.map(ours_f64, our_op)
+            our_meas = jax.tree.map(ours_f64, our_meas)
+            ops[name] = (ref_op, ref_meas, our_op, our_meas)
+
     def model_apply(p_, x, t):
-        return f_model.apply({"params": p_}, x, t.astype(jnp.float32))
+        return f_model.apply({"params": p_}, x, t.astype(x.dtype))
 
     if os.path.exists(args.out):
         with open(args.out) as f:
@@ -238,6 +317,9 @@ def main():
                 recon_mse=recon_ref if c["cov"] == "analytic" else None,
                 zeta=c.get("zeta"), lambda_=c.get("lambda_"),
                 device="cpu").eval()
+            if args.f64:
+                # casts the k-diffusion wrapper's f32 sigma buffers too
+                ref_cond = ref_cond.double()
             ref_out = ref_sample_euler(
                 ref_cond, torch.tensor(x_init),
                 torch.tensor(np.asarray(sigmas)), disable=True)
@@ -267,7 +349,11 @@ def main():
             rec = {"max_abs": float(diff.max()), "mean_abs": float(diff.mean()),
                    "psnr_between": round(psnr, 2),
                    "ref_sec": round(t_ref, 1), "ours_sec": round(t_ours, 1)}
-            if args.cg_tight:
+            if args.f64:
+                rec["cg"] = {"tol": our_cg_tol, "maxiter": our_cg_maxiter}
+                results.setdefault("f64_trajectories", {})[
+                    f"{op_name}/{cfg_name}"] = rec
+            elif args.cg_tight:
                 rec["cg"] = {"tol": our_cg_tol, "maxiter": our_cg_maxiter,
                              "both_sides": True}
                 results.setdefault("cg_tight", {})[

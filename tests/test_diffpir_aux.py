@@ -244,3 +244,145 @@ def test_wrap_boundary_reduces_deconvolution_artifacts():
     err_naive = np.abs(naive - img)[border].mean()
     err_wrap = np.abs(dewrapped - img)[border].mean()
     assert err_wrap < 0.5 * err_naive, (err_naive, err_wrap)
+
+
+def test_converters_match_reference(reference_path):
+    """The full numpy<->tensor converter surface vs the reference's torch
+    versions (ref: utils_image.py:205-310) — same shapes, scaling, layouts."""
+    import torch
+    from condition.diffpir_utils import utils_image as ref
+
+    rng = np.random.RandomState(0)
+    u8 = (rng.rand(6, 8, 3) * 255).astype(np.uint8)
+    u8g = u8[:, :, 0]
+    f32 = rng.rand(6, 8, 3).astype(np.float32)
+    f5 = rng.rand(6, 8, 3, 4).astype(np.float32)
+    f3t = rng.rand(6, 8, 4).astype(np.float32)
+
+    pairs = [
+        (image_utils.uint2tensor4(u8), ref.uint2tensor4(u8)),
+        (image_utils.uint2tensor4(u8g), ref.uint2tensor4(u8g)),
+        (image_utils.uint2tensor3(u8), ref.uint2tensor3(u8)),
+        (image_utils.single2tensor4(f32), ref.single2tensor4(f32)),
+        (image_utils.single2tensor5(f5), ref.single2tensor5(f5)),
+        (image_utils.single32tensor5(f3t), ref.single32tensor5(f3t)),
+        (image_utils.single42tensor4(f5), ref.single42tensor4(f5)),
+        (image_utils.single2tensor3(f32), ref.single2tensor3(f32)),
+        (image_utils.single2tensor2(f32[:, :, :1]),
+         ref.single2tensor2(f32[:, :, :1])),
+    ]
+    for ours, want in pairs:
+        np.testing.assert_allclose(np.asarray(ours), want.numpy(), atol=1e-6)
+
+    t4 = torch.rand(1, 3, 6, 8) * 1.4 - 0.2
+    np.testing.assert_array_equal(image_utils.tensor2uint(t4.numpy()),
+                                  ref.tensor2uint(t4))
+    np.testing.assert_allclose(image_utils.tensor2single(t4.numpy()),
+                               ref.tensor2single(t4), atol=1e-7)
+    t2 = torch.rand(6, 8)
+    np.testing.assert_allclose(image_utils.tensor2single3(t2.numpy()),
+                               ref.tensor2single3(t2), atol=1e-7)
+
+    for shape in [(3, 6, 8), (6, 8)]:
+        t = torch.rand(*shape) * 1.2 - 0.1
+        np.testing.assert_array_equal(image_utils.tensor2img(t.numpy()),
+                                      ref.tensor2img(t.clone()))
+    # 4D branch tiles a make_grid mosaic. torchvision is absent here (the
+    # shim stubs it), so the reference branch cannot run; check our tiling
+    # against an explicit hand-built mosaic with make_grid's geometry
+    # (nrow=floor(sqrt(B)) columns, 2px zero padding, row-major fill).
+    t = (torch.rand(4, 3, 6, 8)).numpy()
+    got = image_utils.tensor2img(t)
+    assert got.shape == (2 + 2 * (6 + 2), 2 + 2 * (8 + 2), 3)
+    for k in range(4):
+        y, x = divmod(k, 2)
+        cell = got[2 + y * 8: 2 + y * 8 + 6, 2 + x * 10: 2 + x * 10 + 8]
+        want = (t[k][[2, 1, 0]].transpose(1, 2, 0).clip(0, 1)
+                * 255.0).round().astype(np.uint8)
+        np.testing.assert_array_equal(cell, want)
+
+
+def test_augmentations_match_reference(reference_path):
+    """All 8 dihedral modes of every augment variant
+    (ref: utils_image.py:316-426)."""
+    import torch
+    from condition.diffpir_utils import utils_image as ref
+
+    rng = np.random.RandomState(1)
+    img = rng.rand(6, 8, 3).astype(np.float32)
+    t4 = torch.rand(2, 3, 6, 8)
+    t3 = torch.rand(3, 6, 8)
+    for mode in range(8):
+        np.testing.assert_array_equal(image_utils.augment_img(img, mode),
+                                      ref.augment_img(img, mode))
+        np.testing.assert_array_equal(image_utils.augment_img_np3(img, mode),
+                                      ref.augment_img_np3(img, mode))
+        np.testing.assert_allclose(
+            np.asarray(image_utils.augment_img_tensor4(t4.numpy(), mode)),
+            ref.augment_img_tensor4(t4, mode).numpy(), atol=1e-7)
+        for t in (t3, t4):
+            np.testing.assert_allclose(
+                np.asarray(image_utils.augment_img_tensor(t.numpy(), mode)),
+                ref.augment_img_tensor(t, mode).numpy(), atol=1e-7)
+
+    # augment_imgs draws 3 bernoullis; replay the reference's global-random
+    # draws through a seeded shim for equality
+    import random as pyrandom
+    pyrandom.seed(7)
+    want = ref.augment_imgs([img, img[::-1].copy()])
+    pyrandom.seed(7)
+    got = image_utils.augment_imgs([img, img[::-1].copy()])
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_fs_helpers_and_channel_convert(reference_path, tmp_path):
+    """File-system surface + channel_convert vs the reference where the
+    reference is importable (cv2-free paths)."""
+    from condition.diffpir_utils import utils_image as ref
+    from PIL import Image
+
+    assert image_utils.is_image_file("a.png") and \
+        not image_utils.is_image_file("a.txt")
+    assert image_utils.IMG_EXTENSIONS == ref.IMG_EXTENSIONS
+
+    d = tmp_path / "imgs" / "sub"
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray((rng.rand(4, 4, 3) * 255).astype(np.uint8)).save(
+            d / f"{i}.png")
+    (d / "notes.txt").write_text("x")
+    paths = image_utils.get_image_paths(str(tmp_path / "imgs"))
+    assert len(paths) == 2 and all(p.endswith(".png") for p in paths)
+    assert image_utils.get_image_paths(None) is None
+    assert paths == ref.get_image_paths(str(tmp_path / "imgs"))
+
+    out = tmp_path / "made" / "deep"
+    image_utils.mkdirs([str(out)])
+    assert out.is_dir()
+    image_utils.mkdir_and_rename(str(out))   # archives + recreates
+    assert out.is_dir()
+
+    img = (rng.rand(4, 4, 3) * 255).astype(np.uint8)
+    y_ours = image_utils.channel_convert(3, "y", [img])
+    y_ref = ref.channel_convert(3, "y", [img])
+    np.testing.assert_array_equal(y_ours[0], y_ref[0])
+    # gray path: reference needs cv2 (absent) — check BT.601 weights directly
+    g = image_utils.channel_convert(3, "gray", [img])[0]
+    assert g.shape == (4, 4, 1)
+    w = np.array([0.114, 0.587, 0.299])
+    np.testing.assert_allclose(
+        g[:, :, 0].astype(np.float64),
+        (img.astype(np.float64) * w).sum(-1).astype(np.uint8), atol=1)
+
+    # read_img: BGR float in [0,1]
+    p = str(paths[0])
+    got = image_utils.read_img(p)
+    want = np.asarray(Image.open(p).convert("RGB"))[:, :, ::-1] / 255.0
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-6)
+
+    # todevice places on a jax device
+    import jax
+    placed = image_utils.todevice([np.zeros((2, 2))])
+    assert placed[0].devices() <= set(jax.devices())
