@@ -108,8 +108,12 @@ class DiffusionTables(NamedTuple):
         return self.betas.shape[0]
 
 
-def make_tables(betas: np.ndarray, timestep_map=None) -> DiffusionTables:
-    """Builds coefficient tables from betas in float64, stores as float32 jnp."""
+def make_tables(betas: np.ndarray, timestep_map=None,
+                dtype=jnp.float32) -> DiffusionTables:
+    """Builds coefficient tables from betas in float64, stores as `dtype`
+    jnp (float32 for production; float64 matches the reference's f64 numpy
+    tables exactly — the tmpd CG system amplifies the f32 rounding of
+    these coefficients by its condition number, see RESULTS.md)."""
     betas = np.asarray(betas, dtype=np.float64)
     assert betas.ndim == 1 and (betas > 0).all() and (betas <= 1).all()
     alphas = 1.0 - betas
@@ -122,7 +126,7 @@ def make_tables(betas: np.ndarray, timestep_map=None) -> DiffusionTables:
     sigmas = np.sqrt((1 - alphas_cumprod) / alphas_cumprod)
     if timestep_map is None:
         timestep_map = np.arange(len(betas))
-    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    f32 = lambda a: jnp.asarray(a, dtype=dtype)
     return DiffusionTables(
         betas=f32(betas),
         alphas_cumprod=f32(alphas_cumprod),
@@ -143,13 +147,14 @@ def make_tables(betas: np.ndarray, timestep_map=None) -> DiffusionTables:
 
 
 def make_diffusion(steps: int = 1000, noise_schedule: str = "linear",
-                   timestep_respacing: Union[str, Sequence[int], None] = None) -> DiffusionTables:
+                   timestep_respacing: Union[str, Sequence[int], None] = None,
+                   dtype=jnp.float32) -> DiffusionTables:
     """Builds (possibly respaced) tables. Equivalent of
     script_util.create_gaussian_diffusion (ref: script_util.py:386-424) +
     SpacedDiffusion beta rewriting (ref: respace.py:77-86)."""
     betas = get_named_beta_schedule(noise_schedule, steps)
     if not timestep_respacing:
-        return make_tables(betas)
+        return make_tables(betas, dtype=dtype)
     use_timesteps = space_timesteps(steps, timestep_respacing)
     base_ac = np.cumprod(1.0 - betas)
     last_alpha_cumprod = 1.0
@@ -159,7 +164,7 @@ def make_diffusion(steps: int = 1000, noise_schedule: str = "linear",
             new_betas.append(1 - ac / last_alpha_cumprod)
             last_alpha_cumprod = ac
             timestep_map.append(i)
-    return make_tables(np.array(new_betas), np.array(timestep_map))
+    return make_tables(np.array(new_betas), np.array(timestep_map), dtype=dtype)
 
 
 def extract(table: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:

@@ -28,17 +28,29 @@ PEAK_GBS = float(os.environ.get("KDIP_PEAK_GBS", "819"))        # v5e HBM
 
 
 def measure(name, fn, args, n_runs=20):
+    """fn(*args) -> (result, x_next) where x_next has args[-1]'s shape.
+    Cost analysis on the single-call program; wall-clock from an on-device
+    lax.scan that CHAINS x through the iterations (host-side per-dispatch
+    timing through the tunnel'd PJRT stream is unreliable — the same
+    pattern scripts/profile_vjp_batch.py uses)."""
     jitted = jax.jit(fn)
-    lowered = jitted.lower(*args)
-    c = lowered.compile().cost_analysis()
+    c = jitted.lower(*args).compile().cost_analysis()
     if isinstance(c, (list, tuple)):
         c = c[0]
-    out = jitted(*args)
-    jax.block_until_ready(out)
+
+    static, x0 = args[:-1], args[-1]
+
+    @jax.jit
+    def run(x):
+        def body(carry, _):
+            _, nxt = fn(*static, carry)
+            return nxt, None
+        out, _ = jax.lax.scan(body, x, None, length=n_runs)
+        return jnp.sum(out.astype(jnp.float32))
+
+    _ = float(run(x0))  # compile + warmup
     t0 = time.time()
-    for _ in range(n_runs):
-        out = jitted(*args)
-    jax.block_until_ready(out)
+    _ = float(run(x0))
     ms = (time.time() - t0) / n_runs * 1e3
     gflop = float(c.get("flops", 0.0)) / 1e9
     gb = float(c.get("bytes accessed", 0.0)) / 1e9
@@ -76,18 +88,21 @@ def main():
     results = {"peak_tflops_bf16": PEAK_TFLOPS, "peak_hbm_gbs": PEAK_GBS,
                "phases": {}}
 
-    results["phases"]["fwd"] = measure(
-        "fwd", lambda p_, xx, s: model_apply(p_, xx, jnp.broadcast_to(s, (1,))),
-        (params, x, sigma))
+    def fwd(p_, s, xx):
+        y = model_apply(p_, xx, jnp.broadcast_to(s, (1,)))
+        return y, xx + 1e-6 * y[..., :3]
 
-    def fwd_vjp(p_, xx, s):
+    results["phases"]["fwd"] = measure("fwd", fwd, (params, sigma, x))
+
+    def fwd_vjp(p_, s, xx):
         def f(v):
             return model_apply(p_, v, jnp.broadcast_to(s, (1,)))
         y, vjp = jax.vjp(f, xx)
-        return y, vjp(jnp.ones_like(y))
+        (ct,) = vjp(jnp.ones_like(y))
+        return y, xx + 1e-6 * ct
 
     results["phases"]["fwd_vjp"] = measure("fwd+vjp", fwd_vjp,
-                                           (params, x, sigma))
+                                           (params, sigma, x))
 
     # full guided denoise (Type-I convert, inpainting) at a sub-threshold
     # sigma (CG branch) and a supra-threshold sigma (isotropic/closed form)
@@ -100,14 +115,17 @@ def main():
     gcfg = K.guidance.GuidanceConfig(guidance="I", x0_cov_type="convert",
                                      cg_maxiter=100)
     uncond, var_fn = K.guidance.make_openai_uncond(model_apply, tables, gcfg)
-    denoise = K.guidance.make_condition_denoiser(uncond, var_fn, op, meas.y,
+    denoise = K.guidance.make_condition_denoiser(uncond, var_fn, op, meas,
                                                  gcfg, params=params)
+
+    def guided(ss, xx):
+        out = denoise(xx, ss, jax.random.key(0))
+        return out, out  # hat_x0 is x-shaped and in [-1,1]; chain directly
 
     for name, s in (("guided_nfe_cg_branch", 0.05),
                     ("guided_nfe_high_sigma", 10.0)):
-        results["phases"][name] = measure(
-            name, lambda xx, ss: denoise(xx, ss, jax.random.key(0)),
-            (x, jnp.float32(s)))
+        results["phases"][name] = measure(name, guided,
+                                          (jnp.float32(s), x))
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
