@@ -30,7 +30,6 @@ from typing import Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.scipy.sparse.linalg import cg as jax_cg
 
 from . import diffusion as diff
 from . import precond

@@ -197,8 +197,12 @@ class AttentionPool2d(nn.Module):
         k = k.reshape(B, T + 1, heads, ch)
         v = v.reshape(B, T + 1, heads, ch)
         scale = 1 / math.sqrt(math.sqrt(ch))
+        # accumulate logits in at least f32 (f64 when the torso is f64,
+        # matching the reference's einsum in model dtype, unet.py:351-353);
+        # softmax stays f32 like the reference's weight.float()
+        acc = jnp.float64 if self.dtype == jnp.float64 else jnp.float32
         logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=acc)
         weights = jax.nn.softmax(logits.astype(jnp.float32),
                                  axis=-1).astype(v.dtype)
         a = jnp.einsum("bhts,bshc->bthc", weights, v).reshape(B, T + 1, C)

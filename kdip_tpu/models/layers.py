@@ -33,16 +33,20 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 100
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) computed in float32 regardless of input dtype
-    (ref: guided_diffusion/nn.py:17-19, 93-100)."""
+    """GroupNorm(32) computed in AT LEAST float32
+    (ref: guided_diffusion/nn.py:17-19, 93-100 — the reference casts to
+    f32). bf16/f32 torsos normalize in f32 (unchanged production
+    behavior); a float64 torso normalizes in f64, so double-precision
+    parity runs don't quantize activations through the norm."""
     num_groups: int = 32
 
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
+        compute = jnp.float64 if orig_dtype == jnp.float64 else jnp.float32
         y = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
-                         dtype=jnp.float32, param_dtype=jnp.float32)(
-            x.astype(jnp.float32))
+                         dtype=compute, param_dtype=compute)(
+            x.astype(compute))
         return y.astype(orig_dtype)
 
 
@@ -195,8 +199,12 @@ class AttentionBlock(nn.Module):
             qkv = qkv.reshape(B, T, heads, 3 * ch)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         scale = 1 / math.sqrt(math.sqrt(ch))
+        # accumulate logits in at least f32 (f64 when the torso is f64,
+        # matching the reference's einsum in model dtype, unet.py:351-353);
+        # softmax stays f32 like the reference's weight.float()
+        acc = jnp.float64 if self.dtype == jnp.float64 else jnp.float32
         logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=acc)
         weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
         a = jnp.einsum("bhts,bshc->bthc", weights, v)
         a = a.reshape(B, T, C)
