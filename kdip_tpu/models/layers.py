@@ -32,22 +32,63 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 100
     return embedding.astype(dtype)
 
 
+class _FusedGroupNorm(nn.Module):
+    """f32-statistics GroupNorm for low-precision torsos, written so XLA
+    fuses every dtype convert into its consumer.
+
+    The naive `gn(x.astype(f32)).astype(bf16)` materializes two full f32
+    activation copies per norm site (profiled: standalone
+    convert_element_type ops + unfused reduces are ~15% of guided-NFE
+    device time, RESULTS_PROFILE.json). Here the f32 copy never exists in
+    HBM: the convert feeds a one-pass (mean, mean-of-squares) reduction,
+    and the apply is a single fused x*a+b elementwise chain in f32 that
+    rounds straight back to the torso dtype. Statistics and apply math
+    stay f32 — same precision contract as the reference's fp16 torso
+    (guided_diffusion/nn.py:17-19), ~3x less norm HBM traffic.
+    """
+    num_groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        G = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        xg = x.reshape(x.shape[0], -1, G, C // G)
+        x32 = xg.astype(jnp.float32)
+        m = jnp.mean(x32, axis=(1, 3))
+        m2 = jnp.mean(jnp.square(x32), axis=(1, 3))
+        rstd = jax.lax.rsqrt(
+            jnp.maximum(m2 - jnp.square(m), 0.0) + self.epsilon)
+        a = rstd[:, :, None] * scale.reshape(G, C // G)[None]      # [B,G,C/G]
+        b = bias.reshape(G, C // G)[None] - m[:, :, None] * a
+        y = x32 * a[:, None] + b[:, None]
+        return y.astype(x.dtype).reshape(x.shape)
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in AT LEAST float32
     (ref: guided_diffusion/nn.py:17-19, 93-100 — the reference casts to
-    f32). bf16/f32 torsos normalize in f32 (unchanged production
-    behavior); a float64 torso normalizes in f64, so double-precision
-    parity runs don't quantize activations through the norm."""
+    f32). f32/f64 torsos keep flax's GroupNorm with the reference's exact
+    operation ordering (bit-level parity paths; a float64 torso normalizes
+    in f64 so double-precision parity runs don't quantize activations
+    through the norm). Low-precision torsos (bf16/f16) use the fused
+    f32-statistics path above — same f32 math, no materialized f32 copies.
+    Both branches put their (C,) scale/bias under the same "GroupNorm_0"
+    collection so checkpoints and converters are dtype-agnostic."""
     num_groups: int = 32
 
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
-        compute = jnp.float64 if orig_dtype == jnp.float64 else jnp.float32
-        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
-                         dtype=compute, param_dtype=compute)(
-            x.astype(compute))
-        return y.astype(orig_dtype)
+        if orig_dtype in (jnp.float32, jnp.float64):
+            y = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+                             dtype=orig_dtype, param_dtype=orig_dtype,
+                             name="GroupNorm_0")(x)
+            return y.astype(orig_dtype)
+        return _FusedGroupNorm(num_groups=self.num_groups,
+                               name="GroupNorm_0")(x)
 
 
 def conv3x3(features: int, dtype=jnp.float32, name: Optional[str] = None,
