@@ -78,6 +78,10 @@ def main(argv=None):
                         "fine-tune on v5e, identical updates — RESULTS.md)")
     p.add_argument("--no-per-sample-map", dest="per_sample_map",
                    action="store_false")
+    p.add_argument("--num-workers", type=int, default=8,
+                   help="native C++ decode threads for the input pipeline "
+                        "(ref: train_openai.py:43 DataLoader num_workers; "
+                        "0 = synchronous Python loading)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--max-steps", type=int, default=10000)
     p.add_argument("--save-every", type=int, default=1000)
@@ -192,7 +196,8 @@ def main(argv=None):
     try:
         while step < args.max_steps:
             for batch in dataset.batches(args.batch_size, drop_last=True,
-                                         shuffle=True, seed=args.seed + step):
+                                         shuffle=True, seed=args.seed + step,
+                                         num_workers=args.num_workers):
                 if step >= args.max_steps:
                     break
                 aug_imgs, _, _ = augment_batch(aug, batch, seed=step)

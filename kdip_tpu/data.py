@@ -56,15 +56,85 @@ class FolderOfImages:
         return (arr,)
 
     def batches(self, batch_size: int, drop_last: bool = False,
-                shuffle: bool = False, seed: int = 0) -> Iterator[np.ndarray]:
+                shuffle: bool = False, seed: int = 0,
+                num_workers: int = 0, prefetch: int = 2
+                ) -> Iterator[np.ndarray]:
+        """Yield [B, H, W, C] float batches.
+
+        num_workers > 0 routes decoding through the native C++ loader
+        (kdip_tpu.native, the counterpart of the reference's
+        DataLoader(num_workers=...) worker pool, train_openai.py:67) with
+        `prefetch` batches decoded ahead; results are identical to the
+        synchronous Python path — decode/resample in loader.cc reproduce
+        PIL bit-for-bit and every RNG draw stays in Python in the same
+        access order. Falls back to the Python path when the library can't
+        build or a file needs PIL (exotic format)."""
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
+        if num_workers > 0:
+            batches = self._native_batches(order, batch_size, drop_last,
+                                           num_workers, prefetch)
+            if batches is not None:
+                yield from batches
+                return
         for i in range(0, len(order), batch_size):
             idxs = order[i:i + batch_size]
             if drop_last and len(idxs) < batch_size:
                 return
             yield np.stack([self[j][0] for j in idxs])
+
+    # -- native-loader integration -----------------------------------------
+
+    def _native_supported(self) -> bool:
+        from . import native
+        return (all(p.suffix.lower() in native.NATIVE_SUFFIXES
+                    for p in self.paths) and native.available())
+
+    def _native_spec(self, idx: int):
+        """JobSpec for item `idx`, drawing any per-item RNG exactly as the
+        Python __getitem__ would. None = this dataset can't use the
+        native path (e.g. unknown output size)."""
+        from . import native
+        if self.size is None:
+            return None  # variable-size output; stacking is caller's risk
+        return native.JobSpec(self.paths[idx], square_w=self.size,
+                              square_h=self.size,
+                              filter=native.FILTER_LANCZOS, norm_mode=1)
+
+    def _native_out_shape(self):
+        if self.size is None:
+            return None
+        return (self.size, self.size, 3)
+
+    def _native_batches(self, order, batch_size, drop_last, num_workers,
+                        prefetch):
+        """Returns a generator or None (fall back to Python). All RNG
+        draws happen HERE, in access order, before any decode starts — so
+        an epoch's results match the Python path draw-for-draw."""
+        from . import native
+        out_shape = self._native_out_shape()
+        if out_shape is None or not self._native_supported():
+            return None
+        # Spec building may consume per-item RNG (random crops). Snapshot
+        # the state so aborting to the Python path replays identical draws.
+        rng_state = getattr(self, "rng", None) and self.rng.get_state()
+        specs = [self._native_spec(j) for j in order]
+        if any(s is None for s in specs):
+            if rng_state is not None:
+                self.rng.set_state(rng_state)
+            return None
+
+        def gen():
+            stream = native.batched_pipeline(
+                specs, batch_size, out_shape, num_threads=num_workers,
+                drop_last=drop_last, prefetch_batches=prefetch)
+            for arr in stream:
+                if self.transform is not None:
+                    arr = np.stack([self.transform(a) for a in arr])
+                yield arr
+
+        return gen()
 
 
 def center_crop_arr(arr: np.ndarray, image_size: int) -> np.ndarray:
@@ -139,6 +209,36 @@ class ImageDataset(FolderOfImages):
         if self.classes is not None:
             return arr, int(self.classes[idx])
         return (arr,)
+
+    def _native_out_shape(self):
+        return (self.image_size, self.image_size, 3)
+
+    def _native_spec(self, idx: int):
+        """Replicates __getitem__'s pipeline for the native loader. For
+        random crops the RNG draws (scale, crop offsets) happen here in
+        the same order random_crop_arr would make them, using header-only
+        probed dimensions + the same resize-size arithmetic."""
+        from . import native
+        p = self.paths[idx]
+        if not self.random_crop:
+            return native.JobSpec(p, smaller_dim=self.image_size,
+                                  crop_size=self.image_size, norm_mode=0)
+        min_smaller = math.ceil(self.image_size / 1.0)   # max_crop_frac
+        max_smaller = math.floor(self.image_size / 0.8)  # min_crop_frac
+        smaller = int(self.rng.randint(min_smaller, max_smaller + 1))
+        dims = native.probe_size(p)
+        if dims is None:
+            return None
+        w, h = dims
+        while min(w, h) >= 2 * smaller:
+            w, h = w // 2, h // 2
+        scale = smaller / min(w, h)
+        nw, nh = round(w * scale), round(h * scale)
+        crop_y = int(self.rng.randint(nh - self.image_size + 1))
+        crop_x = int(self.rng.randint(nw - self.image_size + 1))
+        return native.JobSpec(p, smaller_dim=smaller,
+                              crop_size=self.image_size, crop_x=crop_x,
+                              crop_y=crop_y, norm_mode=0)
 
 
 # ---------------------------------------------------------------------------
