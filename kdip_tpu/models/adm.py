@@ -50,6 +50,14 @@ class ADMUNet(nn.Module):
     resblock_updown: bool = True
     use_new_attention_order: bool = False
     dtype: Any = jnp.float32
+    # Decoder skip concats feed GroupNorm/SiLU/conv whose params all act
+    # per-channel or per-group, so when the (h, skip) channel split is
+    # group-aligned the whole chain runs on the halves with sliced params —
+    # same math, no concat tensor in HBM, and two Cin-half convs tile better
+    # on v5e than one double-Cin conv (RESULTS.md 'split-skip decoder').
+    # Low-precision torsos only; f32/f64 parity paths keep the exact
+    # concat op ordering.
+    split_skip: bool = True
 
     def setup(self):
         ch_mult = self.channel_mult
@@ -134,6 +142,19 @@ class ADMUNet(nn.Module):
                 h = layer(h)
         return h
 
+    def _split_skip_ok(self, ca: int, cb: int, out_ch: int) -> bool:
+        """Static gate for the decoder split-skip path: low-precision torso,
+        32-group-aligned channel split, and a projecting skip conv."""
+        if not self.split_skip:
+            return False
+        if jnp.dtype(self.dtype) in (jnp.dtype(jnp.float32),
+                                     jnp.dtype(jnp.float64)):
+            return False
+        c = ca + cb
+        gs = c // 32
+        return (c % 32 == 0 and ca % gs == 0 and cb % gs == 0
+                and out_ch != c)
+
     def __call__(self, x, timesteps, y=None, return_feature: bool = False,
                  deterministic: bool = True):
         """x: [B, H, W, C] NHWC in [-1, 1]; timesteps: [B] (may be fractional).
@@ -154,7 +175,13 @@ class ADMUNet(nn.Module):
             hs.append(h)
         h = self._apply_layers(self.middle_block, h, emb, deterministic)
         for layers in self.output_blocks:
-            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            skip = hs.pop()
+            if self._split_skip_ok(h.shape[-1], skip.shape[-1],
+                                   layers[0].out_channels
+                                   or layers[0].channels):
+                h = (h, skip)  # consumed split by the leading ResBlock
+            else:
+                h = jnp.concatenate([h, skip], axis=-1)
             h = self._apply_layers(layers, h, emb, deterministic)
         h = h.astype(x.dtype)
         out = self.out_conv(nn.silu(self.out_norm(h)))

@@ -51,20 +51,37 @@ class _FusedGroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        C = x.shape[-1]
+        parts = x if isinstance(x, tuple) else (x,)
+        C = sum(p.shape[-1] for p in parts)
         G = self.num_groups
+        gs = C // G
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
-        xg = x.reshape(x.shape[0], -1, G, C // G)
-        x32 = xg.astype(jnp.float32)
-        m = jnp.mean(x32, axis=(1, 3))
-        m2 = jnp.mean(jnp.square(x32), axis=(1, 3))
-        rstd = jax.lax.rsqrt(
-            jnp.maximum(m2 - jnp.square(m), 0.0) + self.epsilon)
-        a = rstd[:, :, None] * scale.reshape(G, C // G)[None]      # [B,G,C/G]
-        b = bias.reshape(G, C // G)[None] - m[:, :, None] * a
-        y = x32 * a[:, None] + b[:, None]
-        return y.astype(x.dtype).reshape(x.shape)
+
+        def norm(p, scale_p, bias_p):
+            # Normalizing a group-aligned slice with its own sliced params is
+            # exactly normalizing the concat and slicing the result: group
+            # statistics never straddle a part boundary.
+            Cp = p.shape[-1]
+            assert Cp % gs == 0, "split GroupNorm requires group-aligned parts"
+            Gp = Cp // gs
+            xg = p.reshape(p.shape[0], -1, Gp, gs)
+            x32 = xg.astype(jnp.float32)
+            m = jnp.mean(x32, axis=(1, 3))
+            m2 = jnp.mean(jnp.square(x32), axis=(1, 3))
+            rstd = jax.lax.rsqrt(
+                jnp.maximum(m2 - jnp.square(m), 0.0) + self.epsilon)
+            a = rstd[:, :, None] * scale_p.reshape(Gp, gs)[None]  # [B,Gp,gs]
+            b = bias_p.reshape(Gp, gs)[None] - m[:, :, None] * a
+            y = x32 * a[:, None] + b[:, None]
+            return y.astype(p.dtype).reshape(p.shape)
+
+        outs, off = [], 0
+        for p in parts:
+            Cp = p.shape[-1]
+            outs.append(norm(p, scale[off:off + Cp], bias[off:off + Cp]))
+            off += Cp
+        return tuple(outs) if isinstance(x, tuple) else outs[0]
 
 
 class GroupNorm32(nn.Module):
@@ -81,14 +98,71 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
+        orig_dtype = (x[0] if isinstance(x, tuple) else x).dtype
         if orig_dtype in (jnp.float32, jnp.float64):
+            assert not isinstance(x, tuple), \
+                "split-skip inputs only arise on low-precision torsos"
             y = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
                              dtype=orig_dtype, param_dtype=orig_dtype,
                              name="GroupNorm_0")(x)
             return y.astype(orig_dtype)
         return _FusedGroupNorm(num_groups=self.num_groups,
                                name="GroupNorm_0")(x)
+
+
+class SplitSkipConv(nn.Module):
+    """Conv whose input may arrive as a (h, skip) channel-split pair.
+
+    Parameter layout is identical to `nn.Conv` (kernel [kh, kw, Cin, F],
+    bias [F], param_dtype f32), so checkpoints are interchangeable with the
+    concat form. For a plain array input the math replays nn.Conv exactly
+    (same promote-to-dtype, same lax conv, same bias add). For a pair it
+    computes conv(concat(a, b), W) as conv(a, W[:, :, :Ca]) +
+    conv(b, W[:, :, Ca:]) in the torso dtype (each conv still accumulates
+    f32 on the MXU; only the cross-half add rounds — one extra bf16
+    rounding vs the fused conv). The concatenated tensor never exists in
+    HBM, and on v5e the two Cin-half convs tile better than one double-Cin
+    conv (57.9 -> 78.3 TFLOP/s at the 256px decoder shape; RESULTS.md
+    'split-skip decoder'). preferred_element_type=f32 accumulation was
+    measured equivalent-speed but is avoided: jax's conv transpose rule
+    rejects the mixed f32-cotangent/bf16-kernel vjp it creates."""
+    features: int
+    kernel_size: int = 3
+    zero_init: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        parts = x if isinstance(x, tuple) else (x,)
+        cin = sum(p.shape[-1] for p in parts)
+        k = self.kernel_size
+        init = (nn.initializers.zeros if self.zero_init
+                else nn.initializers.lecun_normal())
+        kernel = self.param("kernel", init, (k, k, cin, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        pad = [(k // 2, k // 2)] * 2
+        dn = jax.lax.conv_dimension_numbers(
+            parts[0].shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+
+        if not isinstance(x, tuple):
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel, (1, 1), pad,
+                dimension_numbers=dn)
+            return y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+
+        acc, off = None, 0
+        for p in parts:
+            cp = p.shape[-1]
+            y = jax.lax.conv_general_dilated(
+                p.astype(self.dtype), kernel[:, :, off:off + cp], (1, 1),
+                pad, dimension_numbers=dn)
+            acc = y if acc is None else acc + y
+            off += cp
+        return acc + bias.reshape((1,) * (acc.ndim - 1) + (-1,))
 
 
 def conv3x3(features: int, dtype=jnp.float32, name: Optional[str] = None,
@@ -159,7 +233,12 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
+        """x: [B, H, W, C] — or a (h, skip) channel pair whose concat the
+        block would otherwise consume (the decoder's split-skip fast path:
+        norm/silu/conv run per half with sliced params, mathematically the
+        concat computation, but the concat never materializes)."""
         out_ch = self.out_channels or self.channels
+        is_split = isinstance(x, tuple)
 
         def resample(h):
             if self.up:
@@ -169,11 +248,17 @@ class ResBlock(nn.Module):
             return h
 
         h = GroupNorm32(name="in_norm")(x)
-        h = nn.silu(h)
-        if self.up or self.down:
-            h = resample(h)
-            x = resample(x)
-        h = conv3x3(out_ch, self.dtype, name="in_conv")(h)
+        if is_split:
+            assert not (self.up or self.down), \
+                "split-skip input only supported for non-resampling blocks"
+            h = tuple(nn.silu(p) for p in h)
+            h = SplitSkipConv(out_ch, 3, dtype=self.dtype, name="in_conv")(h)
+        else:
+            h = nn.silu(h)
+            if self.up or self.down:
+                h = resample(h)
+                x = resample(x)
+            h = conv3x3(out_ch, self.dtype, name="in_conv")(h)
 
         emb_out = nn.Dense(2 * out_ch if self.use_scale_shift_norm else out_ch,
                            dtype=self.dtype, param_dtype=jnp.float32,
@@ -191,7 +276,12 @@ class ResBlock(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = conv3x3(out_ch, self.dtype, name="out_conv", zero_init=True)(h)
 
-        if out_ch == self.channels:
+        if is_split:
+            assert out_ch != self.channels, \
+                "split-skip input requires a projecting skip connection"
+            skip = SplitSkipConv(out_ch, 3 if self.use_conv else 1,
+                                 dtype=self.dtype, name="skip")(x)
+        elif out_ch == self.channels:
             skip = x
         elif self.use_conv:
             skip = conv3x3(out_ch, self.dtype, name="skip")(x)
