@@ -125,11 +125,17 @@ class SplitSkipConv(nn.Module):
     conv (57.9 -> 78.3 TFLOP/s at the 256px decoder shape; RESULTS.md
     'split-skip decoder'). preferred_element_type=f32 accumulation was
     measured equivalent-speed but is avoided: jax's conv transpose rule
-    rejects the mixed f32-cotangent/bf16-kernel vjp it creates."""
+    rejects the mixed f32-cotangent/bf16-kernel vjp it creates.
+
+    `winograd=True` routes an eligible call (3x3 kernel, stride 1, even
+    H/W) through the Winograd F(2,3) formulation (ops/winograd.py) —
+    2.25x fewer MXU FLOPs, bf16-safe transform coefficients, identical
+    param layout. Ineligible calls silently take the direct path."""
     features: int
     kernel_size: int = 3
     zero_init: bool = False
     dtype: Any = jnp.float32
+    winograd: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -144,6 +150,17 @@ class SplitSkipConv(nn.Module):
                           jnp.float32)
         kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
+
+        if (self.winograd and k == 3
+                and parts[0].shape[1] % 2 == 0
+                and parts[0].shape[2] % 2 == 0):
+            from kdip_tpu.ops import winograd as _wino
+            y = _wino.winograd_conv3x3_jnp(
+                tuple(p.astype(self.dtype) for p in parts)
+                if isinstance(x, tuple) else x.astype(self.dtype),
+                kernel, dtype=self.dtype)
+            return y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+
         pad = [(k // 2, k // 2)] * 2
         dn = jax.lax.conv_dimension_numbers(
             parts[0].shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
@@ -230,6 +247,7 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     dtype: Any = jnp.float32
+    winograd: bool = False  # route 3x3 stride-1 convs via F(2,3)
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
@@ -239,6 +257,17 @@ class ResBlock(nn.Module):
         concat computation, but the concat never materializes)."""
         out_ch = self.out_channels or self.channels
         is_split = isinstance(x, tuple)
+
+        def c3(features, name, zero_init=False):
+            """3x3 stride-1 conv; SplitSkipConv replays nn.Conv exactly on
+            plain arrays (same param names), so the winograd routing flag
+            never changes the checkpoint tree."""
+            if self.winograd:
+                return SplitSkipConv(features, 3, zero_init=zero_init,
+                                     dtype=self.dtype, winograd=True,
+                                     name=name)
+            return conv3x3(features, self.dtype, name=name,
+                           zero_init=zero_init)
 
         def resample(h):
             if self.up:
@@ -252,13 +281,14 @@ class ResBlock(nn.Module):
             assert not (self.up or self.down), \
                 "split-skip input only supported for non-resampling blocks"
             h = tuple(nn.silu(p) for p in h)
-            h = SplitSkipConv(out_ch, 3, dtype=self.dtype, name="in_conv")(h)
+            h = SplitSkipConv(out_ch, 3, dtype=self.dtype,
+                              winograd=self.winograd, name="in_conv")(h)
         else:
             h = nn.silu(h)
             if self.up or self.down:
                 h = resample(h)
                 x = resample(x)
-            h = conv3x3(out_ch, self.dtype, name="in_conv")(h)
+            h = c3(out_ch, "in_conv")(h)
 
         emb_out = nn.Dense(2 * out_ch if self.use_scale_shift_norm else out_ch,
                            dtype=self.dtype, param_dtype=jnp.float32,
@@ -274,17 +304,18 @@ class ResBlock(nn.Module):
             h = GroupNorm32(name="out_norm")(h)
             h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = conv3x3(out_ch, self.dtype, name="out_conv", zero_init=True)(h)
+        h = c3(out_ch, "out_conv", zero_init=True)(h)
 
         if is_split:
             assert out_ch != self.channels, \
                 "split-skip input requires a projecting skip connection"
             skip = SplitSkipConv(out_ch, 3 if self.use_conv else 1,
-                                 dtype=self.dtype, name="skip")(x)
+                                 dtype=self.dtype, winograd=self.winograd,
+                                 name="skip")(x)
         elif out_ch == self.channels:
             skip = x
         elif self.use_conv:
-            skip = conv3x3(out_ch, self.dtype, name="skip")(x)
+            skip = c3(out_ch, "skip")(x)
         else:
             skip = conv1x1(out_ch, self.dtype, name="skip")(x)
         return skip + h

@@ -1,0 +1,240 @@
+"""Pallas-fused Winograd F(2x2, 3x3) conv: the transforms never touch HBM.
+
+The jnp formulation (ops/winograd.py) gets the 2.25x MXU-FLOP reduction
+but writes the 16/4 = 4x-inflated transformed activations U and M through
+HBM, which can eat the win on a bandwidth-tight chip. This kernel keeps
+everything except x and y on-chip:
+
+  grid step (b, tile-row block):
+    DMA a (TB+1, W/2+1) halo slab of the four input parity planes  -> VMEM
+    build the 16 shifted tile views with unit-stride slices        (VMEM)
+    input transform B^T d B   — adds only (coeffs 0, +-1)          (VPU)
+    16 matmuls  U_p [N, C] @ V_p [C, F], f32 accumulation          (MXU)
+    output transform A^T M A  — adds only, accumulated into 4      (VPU)
+    f32 parity-plane accumulators, one write per block             -> HBM
+
+Total HBM traffic = x once (as parity planes) + y once (as parity
+planes) + V — the same bytes as the direct conv, at 1/2.25 the MXU work.
+
+The parity-plane trick: x is split OUTSIDE the kernel into its four
+(row, col) parities xp[i::2, j::2]; every one of the 16 Winograd tile
+views d_(i,j)[t_r, t_c] = x_pad[2 t_r + i, 2 t_c + j] is then a
+unit-stride slice plane[(i%2, j%2)][t_r + i//2, t_c + j//2] — no strided
+VMEM gathers, which Mosaic lowers poorly. The output's 2x2 tiles are
+written the same way and re-interleaved outside.
+
+Constraints (asserted): H, W even; C and F <= 128 per call (the callers
+in ops/winograd.py split larger C like the split-skip decoder does and
+chunk F). B is a grid dimension (production guided sampling runs B=1
+under the per-sample lax.map).
+
+No reference counterpart (the reference's convs are all cuDNN); oracle
+is ops/winograd.py's jnp formulation and lax.conv (tests/test_winograd.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kdip_tpu.ops.winograd import kernel_transform
+
+# A^T = [[1, 1, 1, 0], [0, 1, -1, -1]] as (k, i) -> coeff
+_AT_COEFF = ((1, 1, 1, 0), (0, 1, -1, -1))
+
+
+def _pick_tb(th: int, tw: int) -> int:
+    """Tile-row block size: target ~512 matmul rows, divide th evenly."""
+    target = max(1, 512 // max(tw, 1))
+    tb = min(th, target)
+    while th % tb:
+        tb -= 1
+    return tb
+
+
+def _wino_kernel(planes_ref, v_ref, out_ref, slab, sem, *, tb: int,
+                 tw: int, twp: int, c: int, f: int, dtype):
+    b = pl.program_id(0)
+    blk = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        planes_ref.at[b, :, pl.ds(blk * tb, tb + 1), :, :], slab, sem)
+    dma.start()
+    dma.wait()
+
+    n = tb * tw
+
+    # the 16 tile views, as unit-stride slices of the parity slab
+    def d(i, j):
+        p = (i % 2) * 2 + (j % 2)
+        return slab[p, i // 2:i // 2 + tb, j // 2:j // 2 + tw, :]
+
+    # B^T along rows: a_kj, k in 0..3 (coeffs 0/+-1 -> adds only)
+    a = [[None] * 4 for _ in range(4)]
+    for j in range(4):
+        d0, d1, d2, d3 = d(0, j), d(1, j), d(2, j), d(3, j)
+        a[0][j] = d0 - d2
+        a[1][j] = d1 + d2
+        a[2][j] = d2 - d1
+        a[3][j] = d1 - d3
+
+    # B along cols + matmul + output-transform accumulation, fused per p
+    y = [[jnp.zeros((n, f), jnp.float32) for _ in range(2)] for _ in range(2)]
+    for i in range(4):
+        a0, a1, a2, a3 = a[i]
+        u_cols = (a0 - a2, a1 + a2, a2 - a1, a1 - a3)
+        for j in range(4):
+            u = u_cols[j].reshape(n, c)
+            m = jnp.dot(u, v_ref[i * 4 + j],
+                        preferred_element_type=jnp.float32)
+            for k in range(2):
+                ck = _AT_COEFF[k][i]
+                if ck == 0:
+                    continue
+                for l in range(2):
+                    cl = _AT_COEFF[l][j]
+                    if cl == 0:
+                        continue
+                    coef = ck * cl
+                    y[k][l] = y[k][l] + (m if coef == 1 else -m)
+
+    for k in range(2):
+        for l in range(2):
+            out_ref[0, k * 2 + l] = y[k][l].reshape(tb, tw, f).astype(dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _wino_pallas_single(x: jnp.ndarray, v: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+    """x: [B, H, W, C<=128], v: [16, C, F<=128] -> y [B, H, W, F]."""
+    B, H, W, C = x.shape
+    F = v.shape[-1]
+    th, tw = H // 2, W // 2
+    tb = _pick_tb(th, tw)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # parity planes [B, 4, th+1, tw+1, C]
+    planes = jnp.stack(
+        [xp[:, i::2, j::2, :] for i in range(2) for j in range(2)], axis=1)
+    twp = tw + 1
+
+    grid = (B, th // tb)
+    out = pl.pallas_call(
+        functools.partial(_wino_kernel, tb=tb, tw=tw, twp=twp, c=C, f=F,
+                          dtype=x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, tb, tw, F), lambda b, i: (b, 0, i, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 4, th, tw, F), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, tb + 1, twp, C), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(planes, v)
+
+    # re-interleave the 2x2 output parities: [B, 4, th, tw, F] -> [B,H,W,F]
+    y = out.reshape(B, 2, 2, th, tw, F)
+    y = y.transpose(0, 3, 1, 4, 2, 5)  # [B, th, 2, tw, 2, F]
+    return y.reshape(B, H, W, F)
+
+
+def _forward(x_parts: Tuple[jnp.ndarray, ...], kernel: jnp.ndarray,
+             interpret: bool) -> jnp.ndarray:
+    dtype = x_parts[0].dtype
+    F = kernel.shape[-1]
+    v = kernel_transform(kernel, dtype)  # [16, Cin, F]
+
+    f_chunks = []
+    for f0 in range(0, F, 128):
+        fw = min(128, F - f0)
+        acc = None
+        off = 0
+        for p in x_parts:
+            cp = p.shape[-1]
+            for c0 in range(0, cp, 128):
+                cw = min(128, cp - c0)
+                part = _wino_pallas_single(
+                    p[..., c0:c0 + cw],
+                    v[:, off + c0:off + c0 + cw, f0:f0 + fw],
+                    interpret=interpret)
+                acc = part if acc is None else acc + part
+            off += cp
+        f_chunks.append(acc)
+    return f_chunks[0] if len(f_chunks) == 1 else jnp.concatenate(
+        f_chunks, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _wino_op(x_parts, kernel, interpret):
+    return _forward(x_parts, kernel, interpret)
+
+
+def _wino_fwd(x_parts, kernel, interpret):
+    return _forward(x_parts, kernel, interpret), (x_parts, kernel)
+
+
+def _wino_bwd(interpret, res, g):
+    x_parts, kernel = res
+    # d/dx: correlation with the spatially-flipped, C/F-swapped kernel —
+    # itself a 3x3 stride-1 same-padding conv, so it reuses this kernel.
+    k_rot = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)
+    gx = _forward((g,), k_rot, interpret)
+    offs, gparts = 0, []
+    for p in x_parts:
+        cp = p.shape[-1]
+        gparts.append(gx[..., offs:offs + cp].astype(p.dtype))
+        offs += cp
+    # d/dkernel: standard conv weight gradient via XLA (training path only;
+    # guided sampling never differentiates parameters).
+    xc = (x_parts[0] if len(x_parts) == 1
+          else jnp.concatenate(x_parts, axis=-1))
+    lhs = xc.transpose(3, 1, 2, 0)           # [C, H, W, B]: C as batch
+    rhs = g.transpose(1, 2, 0, 3)            # [H, W, B, F]: B as "in"
+    gk = jax.lax.conv_general_dilated(
+        lhs, rhs, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            lhs.shape, rhs.shape, ("NHWC", "HWIO", "NHWC")),
+    )
+    # gk: [C, 3, 3, F] -> [3, 3, C, F]
+    gk = gk.transpose(1, 2, 0, 3).astype(kernel.dtype)
+    return tuple(gparts), gk
+
+
+_wino_op.defvjp(_wino_fwd, _wino_bwd)
+
+
+def winograd_conv3x3_pallas(
+    x: Union[jnp.ndarray, Tuple[jnp.ndarray, ...]],
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    dtype=None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Same contract as winograd_conv3x3_jnp, Pallas-fused on TPU."""
+    parts = x if isinstance(x, tuple) else (x,)
+    if dtype is not None:
+        parts = tuple(p.astype(dtype) for p in parts)
+    if interpret is None:
+        interpret = not _on_tpu()
+    y = _wino_op(tuple(parts), kernel, interpret)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

@@ -1,0 +1,179 @@
+"""Winograd F(2,3) conv: algebraic parity with the direct lax conv.
+
+The reference has no counterpart (all convs are torch.nn.Conv2d /cuDNN);
+the oracle here is jax's own conv_general_dilated, which the rest of the
+suite has already validated against the torch reference at 256px
+(tests/test_parity_256_smoke.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kdip_tpu.models import layers
+from kdip_tpu.ops import winograd
+
+
+def _direct(x, w):
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(x, w, (1, 1), [(1, 1), (1, 1)],
+                                        dimension_numbers=dn)
+
+
+def test_winograd_matches_direct_f32():
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (2, 16, 12, 24), jnp.float32)
+    w = jax.random.normal(jax.random.key(1), (3, 3, 24, 16),
+                          jnp.float32) * 0.2
+    ref = _direct(x, w)
+    out = winograd.winograd_conv3x3_jnp(x, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+
+
+def test_winograd_split_input_matches_concat():
+    key = jax.random.key(2)
+    a = jax.random.normal(key, (1, 8, 8, 20), jnp.float32)
+    b = jax.random.normal(jax.random.key(3), (1, 8, 8, 12), jnp.float32)
+    w = jax.random.normal(jax.random.key(4), (3, 3, 32, 8),
+                          jnp.float32) * 0.2
+    ref = winograd.winograd_conv3x3_jnp(jnp.concatenate([a, b], -1), w)
+    out = winograd.winograd_conv3x3_jnp((a, b), w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_winograd_bf16_drift_bounded():
+    """bf16 Winograd must stay within a small factor of the direct conv's
+    own bf16 rounding (the F(4,3) variant fails this by ~30x and was
+    rejected; scripts/winograd_proto.py)."""
+    key = jax.random.key(5)
+    x = jax.random.normal(key, (1, 32, 32, 64), jnp.float32)
+    w = jax.random.normal(jax.random.key(6), (3, 3, 64, 64),
+                          jnp.float32) * 0.1
+    ref = _direct(x, w)
+    scale = float(jnp.max(jnp.abs(ref)))
+
+    xb = x.astype(jnp.bfloat16)
+    err_direct = float(jnp.max(jnp.abs(
+        _direct(xb, w.astype(jnp.bfloat16)).astype(jnp.float32) - ref)))
+    err_wino = float(jnp.max(jnp.abs(
+        winograd.winograd_conv3x3_jnp(xb, w).astype(jnp.float32) - ref)))
+    assert err_wino / scale < 5e-2
+    assert err_wino < 6 * max(err_direct, 1e-6 * scale)
+
+
+def test_winograd_vjp_matches_direct_f32():
+    key = jax.random.key(7)
+    x = jax.random.normal(key, (1, 8, 8, 16), jnp.float32)
+    w = jax.random.normal(jax.random.key(8), (3, 3, 16, 16),
+                          jnp.float32) * 0.2
+    ct = jax.random.normal(jax.random.key(9), (1, 8, 8, 16), jnp.float32)
+
+    gx_ref = jax.vjp(lambda q: _direct(q, w), x)[1](ct)[0]
+    gx = jax.vjp(lambda q: winograd.winograd_conv3x3_jnp(q, w), x)[1](ct)[0]
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=0, atol=5e-5)
+
+    gw_ref = jax.vjp(lambda q: _direct(x, q), w)[1](ct)[0]
+    gw = jax.vjp(lambda q: winograd.winograd_conv3x3_jnp(x, q), w)[1](ct)[0]
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=0, atol=2e-4)
+
+
+def test_splitskipconv_winograd_param_tree_and_value():
+    """winograd=True must not change the param tree (checkpoints
+    interchange) and must reproduce the direct path numerically."""
+    x = jax.random.normal(jax.random.key(10), (1, 8, 8, 12), jnp.float32)
+    m_dir = layers.SplitSkipConv(10, 3, dtype=jnp.float32)
+    m_win = layers.SplitSkipConv(10, 3, dtype=jnp.float32, winograd=True)
+    p = m_dir.init(jax.random.key(11), x)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        m_win.init(jax.random.key(11), x))
+    y_dir = m_dir.apply(p, x)
+    y_win = m_win.apply(p, x)
+    np.testing.assert_allclose(np.asarray(y_win), np.asarray(y_dir),
+                               rtol=0, atol=5e-5)
+
+
+def test_winograd_odd_size_falls_back():
+    """Odd H/W is ineligible; SplitSkipConv must silently take the direct
+    path rather than crash."""
+    x = jax.random.normal(jax.random.key(12), (1, 7, 7, 8), jnp.float32)
+    m = layers.SplitSkipConv(8, 3, dtype=jnp.float32, winograd=True)
+    p = m.init(jax.random.key(13), x)
+    y = m.apply(p, x)
+    assert y.shape == (1, 7, 7, 8)
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16])
+def test_adm_winograd_model_close_to_direct(dtype):
+    """Full tiny ADM UNet: winograd torso vs direct torso, same params —
+    outputs must agree within (a few x) the bf16 torso's own noise floor."""
+    from kdip_tpu.models import adm
+
+    model_kw = dict(in_channels=3, model_channels=32, out_channels=6,
+                    num_res_blocks=1, attention_resolutions=(2,),
+                    channel_mult=(1, 2), num_heads=2)
+    m_dir = adm.ADMUNet(dtype=dtype, winograd=False, **model_kw)
+    m_win = adm.ADMUNet(dtype=dtype, winograd=True, **model_kw)
+    x = jax.random.uniform(jax.random.key(14), (1, 16, 16, 3)) * 2 - 1
+    t = jnp.full((1,), 27.0)
+    p = m_dir.init(jax.random.key(15), x, t)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        m_win.init(jax.random.key(15), x, t))
+
+    y_dir = m_dir.apply(p, x, t).astype(jnp.float32)
+    y_win = m_win.apply(p, x, t).astype(jnp.float32)
+    scale = float(jnp.max(jnp.abs(y_dir))) + 1e-6
+    rel = float(jnp.max(jnp.abs(y_win - y_dir))) / scale
+    assert rel < 5e-2, rel
+
+
+# ---- Pallas-fused variant (interpret mode on CPU; native on TPU) ----
+
+def test_winograd_pallas_matches_jnp_f32():
+    from kdip_tpu.ops import winograd_pallas as wp
+    key = jax.random.key(20)
+    x = jax.random.normal(key, (1, 16, 12, 24), jnp.float32)
+    w = jax.random.normal(jax.random.key(21), (3, 3, 24, 16),
+                          jnp.float32) * 0.2
+    ref = winograd.winograd_conv3x3_jnp(x, w)
+    out = wp.winograd_conv3x3_pallas(x, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+
+
+def test_winograd_pallas_split_and_chunked():
+    """C > 128 and F > 128 exercise the chunking path; split input
+    exercises the transform-space sum."""
+    from kdip_tpu.ops import winograd_pallas as wp
+    key = jax.random.key(22)
+    a = jax.random.normal(key, (1, 8, 8, 130), jnp.float32)
+    b = jax.random.normal(jax.random.key(23), (1, 8, 8, 30), jnp.float32)
+    w = jax.random.normal(jax.random.key(24), (3, 3, 160, 140),
+                          jnp.float32) * 0.1
+    ref = _direct(jnp.concatenate([a, b], -1), w)
+    out = wp.winograd_conv3x3_pallas((a, b), w, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=5e-4)
+
+
+def test_winograd_pallas_vjp():
+    from kdip_tpu.ops import winograd_pallas as wp
+    key = jax.random.key(25)
+    x = jax.random.normal(key, (1, 8, 8, 16), jnp.float32)
+    w = jax.random.normal(jax.random.key(26), (3, 3, 16, 16),
+                          jnp.float32) * 0.2
+    ct = jax.random.normal(jax.random.key(27), (1, 8, 8, 16), jnp.float32)
+
+    gx_ref, gw_ref = jax.vjp(lambda q, r: _direct(q, r), x, w)[1](ct)
+    gx, gw = jax.vjp(
+        lambda q, r: wp.winograd_conv3x3_pallas(q, r, interpret=True),
+        x, w)[1](ct)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=0, atol=2e-4)
