@@ -442,13 +442,14 @@ class ADMUNetV2(nn.Module):
         return eps, logvar, logvar_ot
 
 
-def ffhq_unet(dtype=jnp.float32, dropout: float = 0.0) -> ADMUNet:
+def ffhq_unet(dtype=jnp.float32, dropout: float = 0.0, **kw) -> ADMUNet:
     """FFHQ-256 config (ref: configs/test_ffhq.json:13-17 +
     diffpir_utils/utils_model.py:353-381 defaults)."""
     return ADMUNet(image_size=256, model_channels=128, num_res_blocks=1,
                    attention_resolutions=(16,), channel_mult=(1, 1, 2, 2, 4, 4),
                    num_heads=4, num_head_channels=64, use_scale_shift_norm=True,
-                   resblock_updown=True, out_channels=6, dropout=dropout, dtype=dtype)
+                   resblock_updown=True, out_channels=6, dropout=dropout,
+                   dtype=dtype, **kw)
 
 
 def imagenet_unet(dtype=jnp.float32, class_cond: bool = False,

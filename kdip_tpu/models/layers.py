@@ -155,7 +155,7 @@ class SplitSkipConv(nn.Module):
                 and parts[0].shape[1] % 2 == 0
                 and parts[0].shape[2] % 2 == 0):
             from kdip_tpu.ops import winograd as _wino
-            y = _wino.winograd_conv3x3_jnp(
+            y = _wino.winograd_conv3x3(
                 tuple(p.astype(self.dtype) for p in parts)
                 if isinstance(x, tuple) else x.astype(self.dtype),
                 kernel, dtype=self.dtype)

@@ -130,3 +130,15 @@ def winograd_conv3x3_jnp(
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
+
+
+def winograd_conv3x3(x, kernel, bias=None, dtype=None, impl=None):
+    """Dispatcher: `impl` in {'jnp', 'pallas'}; default from
+    KDIP_WINOGRAD_IMPL (falls back to 'pallas', the fused kernel — the
+    jnp path's transformed activations round-trip HBM at 4x inflation)."""
+    import os
+    impl = impl or os.environ.get("KDIP_WINOGRAD_IMPL", "pallas")
+    if impl == "pallas":
+        from kdip_tpu.ops.winograd_pallas import winograd_conv3x3_pallas
+        return winograd_conv3x3_pallas(x, kernel, bias=bias, dtype=dtype)
+    return winograd_conv3x3_jnp(x, kernel, bias=bias, dtype=dtype)
