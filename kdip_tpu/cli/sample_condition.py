@@ -104,6 +104,9 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--winograd", action="store_true",
+                   help="route the UNet's 3x3 convs through Winograd F(2,3) "
+                        "(ops/winograd.py; bf16 torsos only)")
     return p
 
 
@@ -132,7 +135,8 @@ def main(argv=None):
         model = kconfig.make_model(config, dtype=dtype)
         tables = diff_mod.make_diffusion(1000, "linear")  # unused by EDM path
     else:
-        model, tables = kconfig.make_openai_model(model_config, dtype=dtype)
+        model, tables = kconfig.make_openai_model(model_config, dtype=dtype,
+                                                  winograd=args.winograd)
     size = model_config["input_size"]
     assert len(size) == 2 and size[0] == size[1]
 

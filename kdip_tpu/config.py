@@ -91,7 +91,7 @@ def load_config(file: Union[str, IO, Dict]) -> Dict:
     return deep_merge(CONFIG_DEFAULTS, config)
 
 
-def make_openai_model(model_config: Dict, dtype=jnp.float32):
+def make_openai_model(model_config: Dict, dtype=jnp.float32, **kw):
     """Builds (ADMUNet, DiffusionTables) from a config's "openai" block
     (ref: k_diffusion/config.py:52-65 + script_util.create_model_and_diffusion)."""
     flags = dict(OPENAI_MODEL_DEFAULTS)
@@ -105,7 +105,8 @@ def make_openai_model(model_config: Dict, dtype=jnp.float32):
         num_heads_upsample=flags["num_heads_upsample"],
         use_scale_shift_norm=flags["use_scale_shift_norm"],
         dropout=flags["dropout"], resblock_updown=flags["resblock_updown"],
-        use_new_attention_order=flags["use_new_attention_order"], dtype=dtype)
+        use_new_attention_order=flags["use_new_attention_order"], dtype=dtype,
+        **kw)
     tables = diffusion.make_diffusion(flags["diffusion_steps"],
                                       flags["noise_schedule"],
                                       flags["timestep_respacing"] or None)

@@ -453,14 +453,14 @@ def ffhq_unet(dtype=jnp.float32, dropout: float = 0.0, **kw) -> ADMUNet:
 
 
 def imagenet_unet(dtype=jnp.float32, class_cond: bool = False,
-                  dropout: float = 0.0) -> ADMUNet:
+                  dropout: float = 0.0, **kw) -> ADMUNet:
     """ImageNet-256 config (ref: configs/test_imagenet.json:8-12)."""
     return ADMUNet(image_size=256, model_channels=256, num_res_blocks=2,
                    attention_resolutions=(8, 16, 32), channel_mult=(1, 1, 2, 2, 4, 4),
                    num_heads=4, num_head_channels=64, use_scale_shift_norm=True,
                    resblock_updown=True, out_channels=6,
                    num_classes=1000 if class_cond else None,
-                   dropout=dropout, dtype=dtype)
+                   dropout=dropout, dtype=dtype, **kw)
 
 
 def create_unet(image_size: int = 256, num_channels: int = 128, num_res_blocks: int = 1,
@@ -469,7 +469,7 @@ def create_unet(image_size: int = 256, num_channels: int = 128, num_res_blocks: 
                 num_head_channels: int = 64, num_heads_upsample: int = -1,
                 use_scale_shift_norm: bool = True, dropout: float = 0.0,
                 resblock_updown: bool = True, use_new_attention_order: bool = False,
-                dtype=jnp.float32) -> ADMUNet:
+                dtype=jnp.float32, **kw) -> ADMUNet:
     """Flag-compatible factory (ref: guided_diffusion/script_util.py:130-184)."""
     if channel_mult == "":
         channel_mult_t = {512: (0.5, 1, 1, 2, 2, 4, 4), 256: (1, 1, 2, 2, 4, 4),
@@ -486,4 +486,5 @@ def create_unet(image_size: int = 256, num_channels: int = 128, num_res_blocks: 
                    num_heads_upsample=num_heads_upsample,
                    use_scale_shift_norm=use_scale_shift_norm,
                    resblock_updown=resblock_updown,
-                   use_new_attention_order=use_new_attention_order, dtype=dtype)
+                   use_new_attention_order=use_new_attention_order, dtype=dtype,
+                   **kw)
