@@ -177,3 +177,26 @@ def test_winograd_pallas_vjp():
                                rtol=0, atol=5e-5)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
                                rtol=0, atol=2e-4)
+
+
+def test_cli_winograd_flag_reaches_model():
+    from kdip_tpu import config as kconfig
+    model, _ = kconfig.make_openai_model(
+        {"openai": {"image_size": 64, "num_channels": 32, "num_head_channels": 32,
+                    "attention_resolutions": "16"}},
+        dtype=jnp.bfloat16, winograd=True)
+    assert model.winograd is True
+    # f32 torsos must gate winograd off regardless of the flag
+    m32, _ = kconfig.make_openai_model(
+        {"openai": {"image_size": 64, "num_channels": 32, "num_head_channels": 32,
+                    "attention_resolutions": "16"}},
+        dtype=jnp.float32, winograd=True)
+    x = jax.random.uniform(jax.random.key(30), (1, 64, 64, 3))
+    t = jnp.full((1,), 3.0)
+    p = m32.init(jax.random.key(31), x, t)
+    base, _ = kconfig.make_openai_model(
+        {"openai": {"image_size": 64, "num_channels": 32, "num_head_channels": 32,
+                    "attention_resolutions": "16"}}, dtype=jnp.float32)
+    y_flag = m32.apply(p, x, t)
+    y_base = base.apply(p, x, t)
+    np.testing.assert_array_equal(np.asarray(y_flag), np.asarray(y_base))
