@@ -50,7 +50,12 @@ class _FusedGroupNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_affine: bool = False):
+        """return_affine=True: skip the apply pass and return the per-sample
+        per-channel affine `(a, b)` (each [B, C] f32, concat order for
+        tuples) such that gn(x) == x*a + b — consumed by the Winograd
+        kernel's fused prologue (ops/winograd_pallas.py), which then never
+        writes the normalized activation to HBM."""
         parts = x if isinstance(x, tuple) else (x,)
         C = sum(p.shape[-1] for p in parts)
         G = self.num_groups
@@ -58,10 +63,10 @@ class _FusedGroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
 
-        def norm(p, scale_p, bias_p):
-            # Normalizing a group-aligned slice with its own sliced params is
-            # exactly normalizing the concat and slicing the result: group
-            # statistics never straddle a part boundary.
+        def affine(p, scale_p, bias_p):
+            # Group stats of a group-aligned slice with its own sliced
+            # params equal the concat's stats sliced: statistics never
+            # straddle a part boundary.
             Cp = p.shape[-1]
             assert Cp % gs == 0, "split GroupNorm requires group-aligned parts"
             Gp = Cp // gs
@@ -73,14 +78,22 @@ class _FusedGroupNorm(nn.Module):
                 jnp.maximum(m2 - jnp.square(m), 0.0) + self.epsilon)
             a = rstd[:, :, None] * scale_p.reshape(Gp, gs)[None]  # [B,Gp,gs]
             b = bias_p.reshape(Gp, gs)[None] - m[:, :, None] * a
-            y = x32 * a[:, None] + b[:, None]
-            return y.astype(p.dtype).reshape(p.shape)
+            return x32, a, b
 
-        outs, off = [], 0
+        outs, affs, off = [], [], 0
         for p in parts:
             Cp = p.shape[-1]
-            outs.append(norm(p, scale[off:off + Cp], bias[off:off + Cp]))
+            x32, a, b = affine(p, scale[off:off + Cp], bias[off:off + Cp])
+            if return_affine:
+                affs.append((a.reshape(a.shape[0], Cp),
+                             b.reshape(b.shape[0], Cp)))
+            else:
+                y = x32 * a[:, None] + b[:, None]
+                outs.append(y.astype(p.dtype).reshape(p.shape))
             off += Cp
+        if return_affine:
+            return (jnp.concatenate([a for a, _ in affs], axis=-1),
+                    jnp.concatenate([b for _, b in affs], axis=-1))
         return tuple(outs) if isinstance(x, tuple) else outs[0]
 
 
@@ -97,17 +110,17 @@ class GroupNorm32(nn.Module):
     num_groups: int = 32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_affine: bool = False):
         orig_dtype = (x[0] if isinstance(x, tuple) else x).dtype
         if orig_dtype in (jnp.float32, jnp.float64):
-            assert not isinstance(x, tuple), \
-                "split-skip inputs only arise on low-precision torsos"
+            assert not isinstance(x, tuple) and not return_affine, \
+                "split-skip/fused-prologue inputs only arise on low-precision torsos"
             y = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
                              dtype=orig_dtype, param_dtype=orig_dtype,
                              name="GroupNorm_0")(x)
             return y.astype(orig_dtype)
         return _FusedGroupNorm(num_groups=self.num_groups,
-                               name="GroupNorm_0")(x)
+                               name="GroupNorm_0")(x, return_affine)
 
 
 class SplitSkipConv(nn.Module):
@@ -138,7 +151,10 @@ class SplitSkipConv(nn.Module):
     winograd: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, prologue=None):
+        """prologue=(a, b) ([B, Cin] f32 each): fuse silu(x*a + b) into the
+        conv's input load (Winograd path; ops/winograd_pallas.py). The
+        ineligible fallback applies the same composition unfused."""
         parts = x if isinstance(x, tuple) else (x,)
         cin = sum(p.shape[-1] for p in parts)
         k = self.kernel_size
@@ -158,8 +174,14 @@ class SplitSkipConv(nn.Module):
             y = _wino.winograd_conv3x3(
                 tuple(p.astype(self.dtype) for p in parts)
                 if isinstance(x, tuple) else x.astype(self.dtype),
-                kernel, dtype=self.dtype)
+                kernel, dtype=self.dtype, prologue=prologue)
             return y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+
+        if prologue is not None:
+            from kdip_tpu.ops.winograd_pallas import _affine_silu
+            parts = _affine_silu(
+                tuple(p.astype(self.dtype) for p in parts), *prologue)
+            x = parts if isinstance(x, tuple) else parts[0]
 
         pad = [(k // 2, k // 2)] * 2
         dn = jax.lax.conv_dimension_numbers(
@@ -276,15 +298,25 @@ class ResBlock(nn.Module):
                 return nn.avg_pool(h, (2, 2), strides=(2, 2))
             return h
 
-        h = GroupNorm32(name="in_norm")(x)
-        if is_split:
+        # fused norm->silu->conv prologue (Winograd kernel): the normalized
+        # activation never reaches HBM. Only for non-resampling blocks
+        # (resample sits between silu and conv) with no live dropout.
+        fuse_norm = (self.winograd and not (self.up or self.down)
+                     and (deterministic or self.dropout == 0.0))
+
+        if fuse_norm:
+            aff = GroupNorm32(name="in_norm")(x, return_affine=True)
+            h = SplitSkipConv(out_ch, 3, dtype=self.dtype, winograd=True,
+                              name="in_conv")(x, prologue=aff)
+        elif is_split:
             assert not (self.up or self.down), \
                 "split-skip input only supported for non-resampling blocks"
+            h = GroupNorm32(name="in_norm")(x)
             h = tuple(nn.silu(p) for p in h)
             h = SplitSkipConv(out_ch, 3, dtype=self.dtype,
                               winograd=self.winograd, name="in_conv")(h)
         else:
-            h = nn.silu(h)
+            h = nn.silu(GroupNorm32(name="in_norm")(x))
             if self.up or self.down:
                 h = resample(h)
                 x = resample(x)
@@ -297,14 +329,32 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
-            h = nn.silu(h)
+            if fuse_norm:
+                # absorb the FiLM scale/shift into the affine:
+                # (gn(h)*(1+s) + t) = h*(a*(1+s)) + (b*(1+s) + t)
+                a, b = GroupNorm32(name="out_norm")(h, return_affine=True)
+                s32 = scale[:, 0, 0, :].astype(jnp.float32)
+                t32 = shift[:, 0, 0, :].astype(jnp.float32)
+                aff2 = (a * (1 + s32), b * (1 + s32) + t32)
+                h = SplitSkipConv(out_ch, 3, dtype=self.dtype, winograd=True,
+                                  zero_init=True, name="out_conv")(
+                                      h, prologue=aff2)
+            else:
+                h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+                h = nn.silu(h)
+                h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+                h = c3(out_ch, "out_conv", zero_init=True)(h)
         else:
             h = h + emb_out
-            h = GroupNorm32(name="out_norm")(h)
-            h = nn.silu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = c3(out_ch, "out_conv", zero_init=True)(h)
+            if fuse_norm:
+                aff2 = GroupNorm32(name="out_norm")(h, return_affine=True)
+                h = SplitSkipConv(out_ch, 3, dtype=self.dtype, winograd=True,
+                                  zero_init=True, name="out_conv")(
+                                      h, prologue=aff2)
+            else:
+                h = nn.silu(GroupNorm32(name="out_norm")(h))
+                h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+                h = c3(out_ch, "out_conv", zero_init=True)(h)
 
         if is_split:
             assert out_ch != self.channels, \

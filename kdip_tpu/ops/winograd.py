@@ -132,13 +132,24 @@ def winograd_conv3x3_jnp(
     return y
 
 
-def winograd_conv3x3(x, kernel, bias=None, dtype=None, impl=None):
+def winograd_conv3x3(x, kernel, bias=None, dtype=None, impl=None,
+                     prologue=None):
     """Dispatcher: `impl` in {'jnp', 'pallas'}; default from
     KDIP_WINOGRAD_IMPL (falls back to 'pallas', the fused kernel — the
-    jnp path's transformed activations round-trip HBM at 4x inflation)."""
+    jnp path's transformed activations round-trip HBM at 4x inflation).
+    prologue=(a, b): fused silu(x*a + b) input transform (pallas); the
+    jnp impl applies the identical composition unfused."""
     import os
     impl = impl or os.environ.get("KDIP_WINOGRAD_IMPL", "pallas")
     if impl == "pallas":
         from kdip_tpu.ops.winograd_pallas import winograd_conv3x3_pallas
-        return winograd_conv3x3_pallas(x, kernel, bias=bias, dtype=dtype)
+        return winograd_conv3x3_pallas(x, kernel, bias=bias, dtype=dtype,
+                                       prologue=prologue)
+    if prologue is not None:
+        from kdip_tpu.ops.winograd_pallas import _affine_silu
+        parts = x if isinstance(x, tuple) else (x,)
+        if dtype is not None:
+            parts = tuple(p.astype(dtype) for p in parts)
+        parts = _affine_silu(parts, *prologue)
+        x = parts if isinstance(x, tuple) else parts[0]
     return winograd_conv3x3_jnp(x, kernel, bias=bias, dtype=dtype)

@@ -57,8 +57,20 @@ def _pick_tb(th: int, tw: int) -> int:
     return tb
 
 
-def _wino_kernel(planes_ref, v_ref, out_ref, slab, sem, *, tb: int,
-                 tw: int, twp: int, c: int, f: int, dtype):
+def _wino_kernel(planes_ref, v_ref, *rest, tb: int, tw: int, twp: int,
+                 c: int, f: int, th: int, dtype, prologue: bool):
+    """rest = ([a_ref, b_ref,] out_ref, slab, sem).
+
+    With prologue=True the slab holds RAW x parity planes and the kernel
+    applies silu(x*a + b) in-place before the Winograd transform —
+    replaying GroupNorm32's exact composition (f32 affine, round to the
+    torso dtype, silu in that dtype; models/layers.py _FusedGroupNorm) —
+    and re-zeroes the conv's same-padding border, which the affine would
+    otherwise corrupt (silu(b) != 0)."""
+    if prologue:
+        a_ref, b_ref, out_ref, slab, sem = rest
+    else:
+        out_ref, slab, sem = rest
     b = pl.program_id(0)
     blk = pl.program_id(1)
 
@@ -68,6 +80,23 @@ def _wino_kernel(planes_ref, v_ref, out_ref, slab, sem, *, tb: int,
     dma.wait()
 
     n = tb * tw
+
+    if prologue:
+        av = a_ref[b][None, None, :]
+        bv = b_ref[b][None, None, :]
+        # padded-row index 2*pr + pi == 0 or H+1  <=>  (pi==0, pr==0) or
+        # (pi==1, pr==th); cols likewise — those positions are the conv's
+        # zero padding and must stay zero through the prologue.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tb + 1, twp), 0) \
+            + blk * tb
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tb + 1, twp), 1)
+        for p in range(4):
+            pi, pj = p // 2, p % 2
+            t = slab[p].astype(jnp.float32) * av + bv
+            s = jax.nn.silu(t.astype(dtype))
+            pad = ((rows == (0 if pi == 0 else th))
+                   | (cols == (0 if pj == 0 else tw)))
+            slab[p] = jnp.where(pad[:, :, None], jnp.zeros_like(s), s)
 
     # the 16 tile views, as unit-stride slices of the parity slab
     def d(i, j):
@@ -117,12 +146,18 @@ def _on_tpu() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _wino_pallas_single(x: jnp.ndarray, v: jnp.ndarray,
+                        a: jnp.ndarray | None = None,
+                        b: jnp.ndarray | None = None,
                         interpret: bool = False) -> jnp.ndarray:
-    """x: [B, H, W, C<=128], v: [16, C, F<=128] -> y [B, H, W, F]."""
+    """x: [B, H, W, C<=128], v: [16, C, F<=128] -> y [B, H, W, F].
+
+    With (a, b) [B, C] f32, the kernel applies the fused
+    silu(x*a + b) prologue to the raw x before the transform."""
     B, H, W, C = x.shape
     F = v.shape[-1]
     th, tw = H // 2, W // 2
     tb = _pick_tb(th, tw)
+    prologue = a is not None
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     # parity planes [B, 4, th+1, tw+1, C]
@@ -131,13 +166,18 @@ def _wino_pallas_single(x: jnp.ndarray, v: jnp.ndarray,
     twp = tw + 1
 
     grid = (B, th // tb)
+    affine_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+                    if prologue else [])
+    affine_args = ((a.astype(jnp.float32), b.astype(jnp.float32))
+                   if prologue else ())
     out = pl.pallas_call(
         functools.partial(_wino_kernel, tb=tb, tw=tw, twp=twp, c=C, f=F,
-                          dtype=x.dtype),
+                          th=th, dtype=x.dtype, prologue=prologue),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            *affine_specs,
         ],
         out_specs=pl.BlockSpec(
             (1, 4, tb, tw, F), lambda b, i: (b, 0, i, 0, 0),
@@ -148,7 +188,7 @@ def _wino_pallas_single(x: jnp.ndarray, v: jnp.ndarray,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(planes, v)
+    )(planes, v, *affine_args)
 
     # re-interleave the 2x2 output parities: [B, 4, th, tw, F] -> [B,H,W,F]
     y = out.reshape(B, 2, 2, th, tw, F)
@@ -157,7 +197,7 @@ def _wino_pallas_single(x: jnp.ndarray, v: jnp.ndarray,
 
 
 def _forward(x_parts: Tuple[jnp.ndarray, ...], kernel: jnp.ndarray,
-             interpret: bool) -> jnp.ndarray:
+             interpret: bool, affine=None) -> jnp.ndarray:
     dtype = x_parts[0].dtype
     F = kernel.shape[-1]
     v = kernel_transform(kernel, dtype)  # [16, Cin, F]
@@ -171,10 +211,14 @@ def _forward(x_parts: Tuple[jnp.ndarray, ...], kernel: jnp.ndarray,
             cp = p.shape[-1]
             for c0 in range(0, cp, 128):
                 cw = min(128, cp - c0)
+                ca = cb = None
+                if affine is not None:
+                    ca = affine[0][:, off + c0:off + c0 + cw]
+                    cb = affine[1][:, off + c0:off + c0 + cw]
                 part = _wino_pallas_single(
                     p[..., c0:c0 + cw],
                     v[:, off + c0:off + c0 + cw, f0:f0 + fw],
-                    interpret=interpret)
+                    ca, cb, interpret=interpret)
                 acc = part if acc is None else acc + part
             off += cp
         f_chunks.append(acc)
@@ -221,20 +265,94 @@ def _wino_bwd(interpret, res, g):
 _wino_op.defvjp(_wino_fwd, _wino_bwd)
 
 
+def _affine_silu(x_parts, a, b):
+    """The prologue's reference composition (GroupNorm32 apply + silu):
+    f32 affine, round to the torso dtype, silu in that dtype."""
+    outs, off = [], 0
+    for p in x_parts:
+        cp = p.shape[-1]
+        t = (p.astype(jnp.float32) * a[:, None, None, off:off + cp]
+             + b[:, None, None, off:off + cp])
+        outs.append(jax.nn.silu(t.astype(p.dtype)))
+        off += cp
+    return tuple(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _wino_fused_op(x_parts, kernel, a, b, interpret):
+    return _forward(x_parts, kernel, interpret, affine=(a, b))
+
+
+def _wino_fused_fwd(x_parts, kernel, a, b, interpret):
+    return (_forward(x_parts, kernel, interpret, affine=(a, b)),
+            (x_parts, kernel, a, b))
+
+
+def _wino_fused_bwd(interpret, res, g):
+    """VJP of conv3x3(silu(x*a+b), W): the heavy conv pullback reuses the
+    fused kernel (no prologue); the silu/affine chain is recomputed
+    elementwise (XLA fuses it into the surrounding reads)."""
+    x_parts, kernel, a, b = res
+    k_rot = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)
+    gs_full = _forward((g,), k_rot, interpret)  # cotangent wrt s = silu(t)
+
+    gparts, gas, gbs = [], [], []
+    off = 0
+    for p in x_parts:
+        cp = p.shape[-1]
+        av = a[:, None, None, off:off + cp].astype(jnp.float32)
+        bv = b[:, None, None, off:off + cp].astype(jnp.float32)
+        x32 = p.astype(jnp.float32)
+        t = x32 * av + bv
+        sig = jax.nn.sigmoid(t)
+        dsilu = sig * (1.0 + t * (1.0 - sig))
+        dt = gs_full[..., off:off + cp].astype(jnp.float32) * dsilu
+        gparts.append((dt * av).astype(p.dtype))
+        gas.append(jnp.sum(dt * x32, axis=(1, 2)))
+        gbs.append(jnp.sum(dt, axis=(1, 2)))
+        off += cp
+
+    s_parts = _affine_silu(x_parts, a, b)
+    sc = (s_parts[0] if len(s_parts) == 1
+          else jnp.concatenate(s_parts, axis=-1))
+    lhs = sc.transpose(3, 1, 2, 0)
+    rhs = g.transpose(1, 2, 0, 3)
+    gk = jax.lax.conv_general_dilated(
+        lhs, rhs, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            lhs.shape, rhs.shape, ("NHWC", "HWIO", "NHWC")),
+    ).transpose(1, 2, 0, 3).astype(kernel.dtype)
+    return (tuple(gparts), gk,
+            jnp.concatenate(gas, -1).astype(a.dtype),
+            jnp.concatenate(gbs, -1).astype(b.dtype))
+
+
+_wino_fused_op.defvjp(_wino_fused_fwd, _wino_fused_bwd)
+
+
 def winograd_conv3x3_pallas(
     x: Union[jnp.ndarray, Tuple[jnp.ndarray, ...]],
     kernel: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     dtype=None,
     interpret: bool | None = None,
+    prologue: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
-    """Same contract as winograd_conv3x3_jnp, Pallas-fused on TPU."""
+    """Same contract as winograd_conv3x3_jnp, Pallas-fused on TPU.
+
+    prologue=(a, b) ([B, Cin] each) additionally fuses silu(x*a + b) into
+    the kernel's slab load — the normalized activation never exists in
+    HBM (the GroupNorm-apply + silu HBM round trip disappears)."""
     parts = x if isinstance(x, tuple) else (x,)
     if dtype is not None:
         parts = tuple(p.astype(dtype) for p in parts)
     if interpret is None:
         interpret = not _on_tpu()
-    y = _wino_op(tuple(parts), kernel, interpret)
+    if prologue is not None:
+        y = _wino_fused_op(tuple(parts), kernel, prologue[0], prologue[1],
+                           interpret)
+    else:
+        y = _wino_op(tuple(parts), kernel, interpret)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

@@ -200,3 +200,76 @@ def test_cli_winograd_flag_reaches_model():
     y_flag = m32.apply(p, x, t)
     y_base = base.apply(p, x, t)
     np.testing.assert_array_equal(np.asarray(y_flag), np.asarray(y_base))
+
+
+def _ref_fused(x, w, a, b):
+    """silu((x*a + b) rounded to x.dtype) -> direct conv — the composition
+    the fused prologue must replay."""
+    t = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+    s = jax.nn.silu(t.astype(x.dtype))
+    return _direct(s, w.astype(x.dtype))
+
+
+def test_winograd_pallas_fused_prologue_fwd():
+    from kdip_tpu.ops import winograd_pallas as wp
+    key = jax.random.key(40)
+    x = jax.random.normal(key, (2, 12, 8, 16), jnp.float32)
+    w = jax.random.normal(jax.random.key(41), (3, 3, 16, 24),
+                          jnp.float32) * 0.2
+    a = jax.random.normal(jax.random.key(42), (2, 16)) * 0.5 + 1.0
+    b = jax.random.normal(jax.random.key(43), (2, 16)) * 0.3
+    ref = _ref_fused(x, w, a, b)
+    out = wp.winograd_conv3x3_pallas(x, w, prologue=(a, b), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+
+
+def test_winograd_pallas_fused_prologue_vjp():
+    from kdip_tpu.ops import winograd_pallas as wp
+    key = jax.random.key(44)
+    x = jax.random.normal(key, (1, 8, 8, 16), jnp.float32)
+    w = jax.random.normal(jax.random.key(45), (3, 3, 16, 16),
+                          jnp.float32) * 0.2
+    a = jax.random.normal(jax.random.key(46), (1, 16)) * 0.5 + 1.0
+    b = jax.random.normal(jax.random.key(47), (1, 16)) * 0.3
+
+    def loss_ref(x, w, a, b):
+        return jnp.sum(jnp.sin(_ref_fused(x, w, a, b)))
+
+    def loss_fused(x, w, a, b):
+        return jnp.sum(jnp.sin(wp.winograd_conv3x3_pallas(
+            x, w, prologue=(a, b), interpret=True)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, a, b)
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, w, a, b)
+    for gr, gf, name in zip(g_ref, g_f, "xwab"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=0, atol=3e-4, err_msg=name)
+
+
+def test_winograd_pallas_fused_split_parts():
+    from kdip_tpu.ops import winograd_pallas as wp
+    key = jax.random.key(48)
+    h = jax.random.normal(key, (1, 8, 8, 20), jnp.float32)
+    s = jax.random.normal(jax.random.key(49), (1, 8, 8, 12), jnp.float32)
+    w = jax.random.normal(jax.random.key(50), (3, 3, 32, 8),
+                          jnp.float32) * 0.2
+    a = jax.random.normal(jax.random.key(51), (1, 32)) * 0.5 + 1.0
+    b = jax.random.normal(jax.random.key(52), (1, 32)) * 0.3
+    ref = _ref_fused(jnp.concatenate([h, s], -1), w, a, b)
+    out = wp.winograd_conv3x3_pallas((h, s), w, prologue=(a, b),
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+
+
+def test_groupnorm_return_affine_matches_apply():
+    x = jax.random.normal(jax.random.key(53), (2, 8, 8, 32), jnp.bfloat16)
+    gn = layers.GroupNorm32(num_groups=8)
+    p = gn.init(jax.random.key(54), x)
+    y = gn.apply(p, x)
+    a, b = gn.apply(p, x, return_affine=True)
+    y2 = (x.astype(jnp.float32) * a[:, None, None, :]
+          + b[:, None, None, :]).astype(x.dtype)
+    np.testing.assert_allclose(np.asarray(y2, np.float32),
+                               np.asarray(y, np.float32), rtol=0, atol=1e-6)
