@@ -273,3 +273,33 @@ def test_groupnorm_return_affine_matches_apply():
           + b[:, None, None, :]).astype(x.dtype)
     np.testing.assert_allclose(np.asarray(y2, np.float32),
                                np.asarray(y, np.float32), rtol=0, atol=1e-6)
+
+
+def test_adm_winograd_scale_shift_norm_branch():
+    """FFHQ uses use_scale_shift_norm=True — the fused path absorbs the
+    FiLM scale/shift into the GroupNorm affine; outputs must track the
+    direct torso within the bf16 noise floor."""
+    from kdip_tpu.models import adm
+
+    model_kw = dict(in_channels=3, model_channels=32, out_channels=6,
+                    num_res_blocks=1, attention_resolutions=(2,),
+                    channel_mult=(1, 2), num_heads=2,
+                    use_scale_shift_norm=True)
+    m_dir = adm.ADMUNet(dtype=jnp.bfloat16, winograd=False, **model_kw)
+    m_win = adm.ADMUNet(dtype=jnp.bfloat16, winograd=True, **model_kw)
+    x = jax.random.uniform(jax.random.key(60), (1, 16, 16, 3)) * 2 - 1
+    t = jnp.full((1,), 41.0)
+    p = m_dir.init(jax.random.key(61), x, t)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        m_win.init(jax.random.key(61), x, t))
+    y_dir = m_dir.apply(p, x, t).astype(jnp.float32)
+    y_win = m_win.apply(p, x, t).astype(jnp.float32)
+    scale = float(jnp.max(jnp.abs(y_dir))) + 1e-6
+    rel = float(jnp.max(jnp.abs(y_win - y_dir))) / scale
+    assert rel < 5e-2, rel
+
+    # and the winograd model must still differentiate (guided-sampling vjp)
+    def f(q):
+        return jnp.sum(m_win.apply(p, q, t).astype(jnp.float32))
+    g = jax.grad(f)(x)
+    assert bool(jnp.isfinite(g).all())
