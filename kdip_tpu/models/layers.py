@@ -299,13 +299,18 @@ class ResBlock(nn.Module):
             return h
 
         # fused norm->silu->conv prologue (Winograd kernel): the normalized
-        # activation never reaches HBM. Only for non-resampling blocks
-        # (resample sits between silu and conv) with no live dropout.
-        fuse_norm = (self.winograd and not (self.up or self.down)
+        # activation never reaches HBM. Down-blocks can't fuse (avg-pool
+        # between silu and conv doesn't commute with the nonlinearity);
+        # up-blocks can: nearest-repeat commutes with pointwise ops, so
+        # silu(gn(x)) upsampled == the prologue applied to upsampled x
+        # with the ORIGINAL x's group statistics. No live dropout.
+        fuse_norm = (self.winograd and not self.down
                      and (deterministic or self.dropout == 0.0))
 
         if fuse_norm:
             aff = GroupNorm32(name="in_norm")(x, return_affine=True)
+            if self.up:
+                x = resample(x)
             h = SplitSkipConv(out_ch, 3, dtype=self.dtype, winograd=True,
                               name="in_conv")(x, prologue=aff)
         elif is_split:
