@@ -303,3 +303,44 @@ def test_adm_winograd_scale_shift_norm_branch():
         return jnp.sum(m_win.apply(p, q, t).astype(jnp.float32))
     g = jax.grad(f)(x)
     assert bool(jnp.isfinite(g).all())
+
+
+def test_guided_sampling_through_winograd_torso():
+    """Full guided posterior sampling with winograd=True: the pallas
+    custom VJP must compose with jax.vjp inside the guidance lax.scan/
+    cond machinery, and the result must stay close to the direct torso."""
+    import kdip_tpu as K
+    from kdip_tpu.models import adm
+
+    def run(wino):
+        model = adm.ADMUNet(in_channels=3, model_channels=32, out_channels=6,
+                            num_res_blocks=1, attention_resolutions=(2,),
+                            channel_mult=(1, 2), num_heads=2,
+                            dtype=jnp.bfloat16, winograd=wino)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                            jnp.zeros((1,)))["params"]
+        tables = K.diffusion.make_diffusion(100, "linear")
+
+        def model_apply(p, xx, t):
+            return model.apply({"params": p}, xx, t.astype(jnp.float32))
+
+        op = K.operators.get_operator(
+            "inpainting", sigma_s=0.02,
+            mask_opt=dict(mask_type="random", mask_prob_range=(0.5, 0.5),
+                          image_size=16), seed=0)
+        sampler = K.sampling_api.build_posterior_sampler(
+            model_apply, tables, op,
+            K.guidance.GuidanceConfig(guidance="I", x0_cov_type="convert",
+                                      cg_maxiter=10),
+            K.sampling_api.SamplerConfig(steps=5), image_size=16)
+        x0 = jax.random.uniform(jax.random.key(1), (1, 16, 16, 3)) * 2 - 1
+        meas = op.measure(x0, jax.random.key(2))
+        return sampler(params, meas, jax.random.key(3), n=1)
+
+    out_dir = run(False)
+    out_win = run(True)
+    assert bool(jnp.isfinite(out_win).all())
+    # same params, same keys: trajectories agree to bf16-torso noise
+    diff = float(jnp.max(jnp.abs(out_win.astype(jnp.float32)
+                                 - out_dir.astype(jnp.float32))))
+    assert diff < 0.2, diff
