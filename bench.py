@@ -55,7 +55,10 @@ def main():
     import kdip_tpu as K
     from kdip_tpu.models import adm
 
-    model = adm.ffhq_unet(dtype=jnp.bfloat16)
+    # KDIP_BENCH_WINOGRAD=1 routes the UNet's 3x3 convs through the
+    # Pallas-fused Winograd F(2,3) path (ops/winograd_pallas.py) for A/B.
+    wino = os.environ.get("KDIP_BENCH_WINOGRAD", "") == "1"
+    model = adm.ffhq_unet(dtype=jnp.bfloat16, winograd=wino)
     params = model.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)),
                         jnp.zeros((1,)))["params"]
     tables = K.diffusion.make_diffusion(1000, "linear")
@@ -135,6 +138,10 @@ def main():
                        f"{2*STEPS-1} NFEs/sample; peak "
                        f"{os.environ.get('KDIP_PEAK_TFLOPS', '197')} "
                        f"bf16 TFLOP/s (v5e)") if flops_per_nfe else None,
+        **({"winograd": True,
+            "note": "winograd cuts executed FLOPs 2.25x per 3x3 conv, so "
+                    "mfu vs naive-conv peak understates MXU occupancy"}
+           if wino else {}),
     }))
 
 
