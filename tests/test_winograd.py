@@ -344,3 +344,26 @@ def test_guided_sampling_through_winograd_torso():
     diff = float(jnp.max(jnp.abs(out_win.astype(jnp.float32)
                                  - out_dir.astype(jnp.float32))))
     assert diff < 0.2, diff
+
+
+def test_winograd_under_dp_sharding():
+    """The pallas path must compose with NamedSharding/jit (the --dp eval
+    layout): batch sharded over the mesh, params replicated."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from kdip_tpu.models import adm
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(jax.devices(), ("dp",))
+    model = adm.ADMUNet(in_channels=3, model_channels=32, out_channels=6,
+                        num_res_blocks=1, attention_resolutions=(2,),
+                        channel_mult=(1, 2), num_heads=2,
+                        dtype=jnp.bfloat16, winograd=True)
+    n = len(jax.devices())
+    x = jax.random.uniform(jax.random.key(0), (n, 16, 16, 3)) * 2 - 1
+    t = jnp.full((n,), 11.0)
+    p = model.init(jax.random.key(1), x[:1], t[:1])["params"]
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    ps = jax.device_put(p, NamedSharding(mesh, P()))
+    y = jax.jit(lambda pp, xx: model.apply({"params": pp}, xx, t))(ps, xs)
+    assert y.shape == (n, 16, 16, 6) and bool(jnp.isfinite(y).all())
