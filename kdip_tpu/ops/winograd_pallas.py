@@ -57,27 +57,47 @@ def _pick_tb(th: int, tw: int) -> int:
     return tb
 
 
-def _wino_kernel(planes_ref, v_ref, *rest, tb: int, tw: int, twp: int,
-                 c: int, f: int, th: int, dtype, prologue: bool):
-    """rest = ([a_ref, b_ref,] out_ref, slab, sem).
+def _wino_kernel(*refs, tb: int, tw: int, twp: int,
+                 c: int, f: int, th: int, dtype, prologue: bool,
+                 manual_dma: bool):
+    """refs = (planes..., v_ref, [a_ref, b_ref,] out_ref, scratch...).
+
+    Two input-pipelining modes:
+    - manual_dma=False (default): the halo'd slab arrives as two
+      overlapping BlockSpec'd inputs (a tb-row body and the 1-row halo) —
+      Mosaic double-buffers blocked inputs across grid steps for free.
+    - manual_dma=True: one ANY-space planes input, DMA'd synchronously
+      into VMEM scratch per step (kept for A/B; stalls on the copy).
 
     With prologue=True the slab holds RAW x parity planes and the kernel
-    applies silu(x*a + b) in-place before the Winograd transform —
-    replaying GroupNorm32's exact composition (f32 affine, round to the
-    torso dtype, silu in that dtype; models/layers.py _FusedGroupNorm) —
-    and re-zeroes the conv's same-padding border, which the affine would
+    applies silu(x*a + b) before the Winograd transform — replaying
+    GroupNorm32's exact composition (f32 affine, round to the torso
+    dtype, silu in that dtype; models/layers.py _FusedGroupNorm) — and
+    re-zeroes the conv's same-padding border, which the affine would
     otherwise corrupt (silu(b) != 0)."""
-    if prologue:
-        a_ref, b_ref, out_ref, slab, sem = rest
+    if manual_dma:
+        planes_ref, v_ref = refs[0], refs[1]
+        rest = refs[2:]
     else:
-        out_ref, slab, sem = rest
+        body_ref, halo_ref, v_ref = refs[0], refs[1], refs[2]
+        rest = refs[3:]
+    if prologue:
+        a_ref, b_ref = rest[0], rest[1]
+        rest = rest[2:]
+    out_ref = rest[0]
     b = pl.program_id(0)
     blk = pl.program_id(1)
 
-    dma = pltpu.make_async_copy(
-        planes_ref.at[b, :, pl.ds(blk * tb, tb + 1), :, :], slab, sem)
-    dma.start()
-    dma.wait()
+    if manual_dma:
+        slab_ref, sem = rest[1], rest[2]
+        dma = pltpu.make_async_copy(
+            planes_ref.at[b, :, pl.ds(blk * tb, tb + 1), :, :], slab_ref,
+            sem)
+        dma.start()
+        dma.wait()
+        slab = slab_ref[:]
+    else:
+        slab = jnp.concatenate([body_ref[0], halo_ref[0]], axis=1)
 
     n = tb * tw
 
@@ -90,13 +110,15 @@ def _wino_kernel(planes_ref, v_ref, *rest, tb: int, tw: int, twp: int,
         rows = jax.lax.broadcasted_iota(jnp.int32, (tb + 1, twp), 0) \
             + blk * tb
         cols = jax.lax.broadcasted_iota(jnp.int32, (tb + 1, twp), 1)
+        outs = []
         for p in range(4):
             pi, pj = p // 2, p % 2
             t = slab[p].astype(jnp.float32) * av + bv
             s = jax.nn.silu(t.astype(dtype))
             pad = ((rows == (0 if pi == 0 else th))
                    | (cols == (0 if pj == 0 else tw)))
-            slab[p] = jnp.where(pad[:, :, None], jnp.zeros_like(s), s)
+            outs.append(jnp.where(pad[:, :, None], jnp.zeros_like(s), s))
+        slab = jnp.stack(outs, axis=0)
 
     # the 16 tile views, as unit-stride slices of the parity slab
     def d(i, j):
@@ -165,17 +187,40 @@ def _wino_pallas_single(x: jnp.ndarray, v: jnp.ndarray,
         [xp[:, i::2, j::2, :] for i in range(2) for j in range(2)], axis=1)
     twp = tw + 1
 
+    import os
+    manual_dma = os.environ.get("KDIP_WINOGRAD_DMA", "") == "manual"
+
     grid = (B, th // tb)
     affine_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
                     if prologue else [])
     affine_args = ((a.astype(jnp.float32), b.astype(jnp.float32))
                    if prologue else ())
+    kern = functools.partial(_wino_kernel, tb=tb, tw=tw, twp=twp, c=C, f=F,
+                             th=th, dtype=x.dtype, prologue=prologue,
+                             manual_dma=manual_dma)
+    if manual_dma:
+        plane_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        plane_args = (planes,)
+        scratch = [pltpu.VMEM((4, tb + 1, twp, C), x.dtype),
+                   pltpu.SemaphoreType.DMA(())]
+    else:
+        # overlapping body + 1-row halo blocks: Mosaic double-buffers
+        # BlockSpec'd inputs across grid steps, so the input copy overlaps
+        # compute with no manual DMA machinery.
+        plane_specs = [
+            pl.BlockSpec((1, 4, tb, twp, C), lambda b, i: (b, 0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 1, twp, C),
+                         lambda b, i: (b, 0, i * tb + tb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        plane_args = (planes, planes)
+        scratch = []
     out = pl.pallas_call(
-        functools.partial(_wino_kernel, tb=tb, tw=tw, twp=twp, c=C, f=F,
-                          th=th, dtype=x.dtype, prologue=prologue),
+        kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            *plane_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             *affine_specs,
         ],
@@ -183,12 +228,9 @@ def _wino_pallas_single(x: jnp.ndarray, v: jnp.ndarray,
             (1, 4, tb, tw, F), lambda b, i: (b, 0, i, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 4, th, tw, F), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((4, tb + 1, twp, C), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(planes, v, *affine_args)
+    )(*plane_args, v, *affine_args)
 
     # re-interleave the 2x2 output parities: [B, 4, th, tw, F] -> [B,H,W,F]
     y = out.reshape(B, 2, 2, th, tw, F)
