@@ -299,13 +299,15 @@ class ResBlock(nn.Module):
             return h
 
         # fused norm->silu->conv prologue (Winograd kernel): the normalized
-        # activation never reaches HBM. Down-blocks can't fuse (avg-pool
-        # between silu and conv doesn't commute with the nonlinearity);
-        # up-blocks can: nearest-repeat commutes with pointwise ops, so
+        # activation never reaches HBM. Down-blocks can't fuse in_conv
+        # (avg-pool between silu and conv doesn't commute with the
+        # nonlinearity) but their out_conv still fuses; up-blocks fuse
+        # fully: nearest-repeat commutes with pointwise ops, so
         # silu(gn(x)) upsampled == the prologue applied to upsampled x
         # with the ORIGINAL x's group statistics. No live dropout.
-        fuse_norm = (self.winograd and not self.down
-                     and (deterministic or self.dropout == 0.0))
+        no_dropout = deterministic or self.dropout == 0.0
+        fuse_norm = self.winograd and not self.down and no_dropout
+        fuse_out = self.winograd and no_dropout
 
         if fuse_norm:
             aff = GroupNorm32(name="in_norm")(x, return_affine=True)
@@ -334,7 +336,7 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            if fuse_norm:
+            if fuse_out:
                 # absorb the FiLM scale/shift into the affine:
                 # (gn(h)*(1+s) + t) = h*(a*(1+s)) + (b*(1+s) + t)
                 a, b = GroupNorm32(name="out_norm")(h, return_affine=True)
@@ -351,7 +353,7 @@ class ResBlock(nn.Module):
                 h = c3(out_ch, "out_conv", zero_init=True)(h)
         else:
             h = h + emb_out
-            if fuse_norm:
+            if fuse_out:
                 aff2 = GroupNorm32(name="out_norm")(h, return_affine=True)
                 h = SplitSkipConv(out_ch, 3, dtype=self.dtype, winograd=True,
                                   zero_init=True, name="out_conv")(
