@@ -160,21 +160,23 @@ class SplitSkipConv(nn.Module):
         k = self.kernel_size
         init = (nn.initializers.zeros if self.zero_init
                 else nn.initializers.lecun_normal())
-        kernel = self.param("kernel", init, (k, k, cin, self.features),
-                            jnp.float32)
+        kernel32 = self.param("kernel", init, (k, k, cin, self.features),
+                              jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        kernel = kernel.astype(self.dtype)
+        kernel = kernel32.astype(self.dtype)
         bias = bias.astype(self.dtype)
 
         if (self.winograd and k == 3
                 and parts[0].shape[1] % 2 == 0
                 and parts[0].shape[2] % 2 == 0):
             from kdip_tpu.ops import winograd as _wino
+            # transform from the f32 masters (one rounding, into V) — XLA
+            # hoists the constant-weight transform out of the sampling scan
             y = _wino.winograd_conv3x3(
                 tuple(p.astype(self.dtype) for p in parts)
                 if isinstance(x, tuple) else x.astype(self.dtype),
-                kernel, dtype=self.dtype, prologue=prologue)
+                kernel32, dtype=self.dtype, prologue=prologue)
             return y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
 
         if prologue is not None:
