@@ -13,6 +13,14 @@ TPU-native re-design of the reference's image grab-bag
   fp32-cancellation note in metrics.py).
 - dtype/color conversions (ref: utils_image.py:182-533) are pure numpy.
 
+Name-coverage notes vs the reference's 47 defs: ``cubic`` and
+``calculate_weights_indices`` (utils_image.py:621-668) exist here as
+``_matlab_cubic`` + ``imresize_matrix`` (same math, matrix form); the
+single-channel ``ssim`` helper is inlined in ``calculate_ssim``; the two
+matplotlib screen-display helpers (``imshow``, ``surf``,
+utils_image.py:159-177) are intentionally unported — display-only, never
+called by any reference entry point, and matplotlib is not a dependency.
+
 Nothing here sits on the sampling hot path.
 """
 
