@@ -21,10 +21,9 @@ absent, vs_baseline is null.
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 
 def load_measured_baseline():
@@ -51,7 +50,88 @@ BATCH = 4
 STEPS = 50
 
 
+METRIC = ("samples/sec/chip (FFHQ-256 guided 50-step Heun, "
+          "Type-I convert, inpainting)")
+
+
+def _probe_transport(timeout_s: float) -> bool:
+    """One tiny-matmul probe in a subprocess under a timeout. The axon
+    transport, when down, HANGS jax calls rather than erroring (VERDICT r3),
+    so an in-process probe could never return — the subprocess is the only
+    cancellable form."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(float((jnp.ones((128,128)) @ jnp.ones((128,128)))"
+             ".sum()))"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _emit_error(error: str, attempts: int, window_s: float) -> None:
+    print(json.dumps({
+        "metric": METRIC, "value": None, "unit": "samples/s",
+        "vs_baseline": None, "error": error,
+        "probe_attempts": attempts, "retry_window_s": round(window_s, 1),
+    }))
+
+
+def outage_protocol() -> int:
+    """Driver-facing wrapper (VERDICT r3 #2): probe the TPU transport under
+    a timeout, retry within a bounded window, run the measurement in a
+    killable subprocess, and ALWAYS end with exactly one parseable JSON
+    line on stdout — never a bare traceback.
+
+    Env knobs: KDIP_BENCH_PROBE_WINDOW (s, default 1800),
+    KDIP_BENCH_PROBE_TIMEOUT (s, default 120),
+    KDIP_BENCH_RUN_TIMEOUT (s, default 2400)."""
+    window = float(os.environ.get("KDIP_BENCH_PROBE_WINDOW", "1800"))
+    probe_timeout = float(os.environ.get("KDIP_BENCH_PROBE_TIMEOUT", "120"))
+    run_timeout = float(os.environ.get("KDIP_BENCH_RUN_TIMEOUT", "2400"))
+
+    t0, attempts, up = time.time(), 0, False
+    while True:
+        attempts += 1
+        up = _probe_transport(probe_timeout)
+        elapsed = time.time() - t0
+        print(f"[bench] transport probe {attempts}: "
+              f"{'UP' if up else 'down'} ({elapsed:.0f}s elapsed)",
+              file=sys.stderr)
+        if up or elapsed + 45 + probe_timeout > window:
+            break
+        time.sleep(45)
+    if not up:
+        _emit_error("tpu-transport-unavailable", attempts, time.time() - t0)
+        return 0
+
+    env = dict(os.environ)
+    env["KDIP_BENCH_CHILD"] = "1"
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, timeout=run_timeout,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        _emit_error("bench-timeout", attempts, time.time() - t0)
+        return 0
+    sys.stderr.write(r.stderr)
+    json_lines = [ln for ln in r.stdout.splitlines()
+                  if ln.startswith("{") and '"metric"' in ln]
+    if r.returncode == 0 and json_lines:
+        print(json_lines[-1])
+    else:
+        tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+        _emit_error("bench-failed: " + " | ".join(tail)[-500:],
+                    attempts, time.time() - t0)
+    return 0
+
+
 def main():
+    import jax
+    import jax.numpy as jnp
+
     import kdip_tpu as K
     from kdip_tpu.models import adm
 
@@ -125,7 +205,7 @@ def main():
 
     ref_sps, baseline_source = load_measured_baseline()
     print(json.dumps({
-        "metric": "samples/sec/chip (FFHQ-256 guided 50-step Heun, Type-I convert, inpainting)",
+        "metric": METRIC,
         "value": round(samples_per_sec, 4),
         "unit": "samples/s",
         "vs_baseline": (round(samples_per_sec / ref_sps, 2)
@@ -146,4 +226,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("KDIP_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(outage_protocol())
