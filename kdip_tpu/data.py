@@ -64,11 +64,13 @@ class FolderOfImages:
         num_workers > 0 routes decoding through the native C++ loader
         (kdip_tpu.native, the counterpart of the reference's
         DataLoader(num_workers=...) worker pool, train_openai.py:67) with
-        `prefetch` batches decoded ahead; results are identical to the
-        synchronous Python path — decode/resample in loader.cc reproduce
-        PIL bit-for-bit and every RNG draw stays in Python in the same
-        access order. Falls back to the Python path when the library can't
-        build or a file needs PIL (exotic format)."""
+        `prefetch` batches decoded ahead; batch contents are identical to
+        the synchronous Python path — decode/resample in loader.cc
+        reproduce PIL bit-for-bit and every RNG draw stays in Python in
+        the same access order. Falls back to the Python path when the
+        library can't build; an individual file the C++ decoder rejects
+        (e.g. a CMYK JPEG) is re-decoded via PIL into its batch slot
+        without aborting the stream."""
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
@@ -109,26 +111,27 @@ class FolderOfImages:
 
     def _native_batches(self, order, batch_size, drop_last, num_workers,
                         prefetch):
-        """Returns a generator or None (fall back to Python). All RNG
-        draws happen HERE, in access order, before any decode starts — so
-        an epoch's results match the Python path draw-for-draw."""
+        """Returns a generator or None (fall back to Python). Per-item RNG
+        draws happen lazily inside `_native_spec`, in access order, as each
+        batch is SUBMITTED — so item-level draws match the Python path
+        draw-for-draw. Because submission runs `prefetch` batches ahead of
+        consumption, abandoning the stream mid-epoch (e.g. a trainer's
+        max_steps break) leaves `self.rng` advanced by up to `prefetch`
+        batches relative to the synchronous path; batch CONTENTS are
+        identical either way, and so is the RNG state after any fully
+        consumed epoch."""
         from . import native
         out_shape = self._native_out_shape()
         if out_shape is None or not self._native_supported():
             return None
-        # Spec building may consume per-item RNG (random crops). Snapshot
-        # the state so aborting to the Python path replays identical draws.
-        rng_state = getattr(self, "rng", None) and self.rng.get_state()
-        specs = [self._native_spec(j) for j in order]
-        if any(s is None for s in specs):
-            if rng_state is not None:
-                self.rng.set_state(rng_state)
-            return None
 
         def gen():
             stream = native.batched_pipeline(
-                specs, batch_size, out_shape, num_threads=num_workers,
-                drop_last=drop_last, prefetch_batches=prefetch)
+                batch_size=batch_size, out_shape=out_shape,
+                num_threads=num_workers, drop_last=drop_last,
+                prefetch_batches=prefetch,
+                spec_fn=lambda i: self._native_spec(order[i]),
+                n_items=len(order))
             for arr in stream:
                 if self.transform is not None:
                     arr = np.stack([self.transform(a) for a in arr])
@@ -157,13 +160,18 @@ def center_crop_arr(arr: np.ndarray, image_size: int) -> np.ndarray:
 
 def random_crop_arr(arr: np.ndarray, image_size: int,
                     min_crop_frac: float = 0.8, max_crop_frac: float = 1.0,
-                    rng: Optional[np.random.RandomState] = None) -> np.ndarray:
-    """Random-scale crop (ref: guided_diffusion/image_datasets.py:150-167)."""
+                    rng: Optional[np.random.RandomState] = None,
+                    smaller_dim_size: Optional[int] = None) -> np.ndarray:
+    """Random-scale crop (ref: guided_diffusion/image_datasets.py:150-167).
+
+    `smaller_dim_size` injects a pre-drawn scale (the native path draws it
+    before probing the header); when None it is drawn from `rng` here."""
     from PIL import Image
     rng = rng or np.random.RandomState()
-    min_smaller = math.ceil(image_size / max_crop_frac)
-    max_smaller = math.floor(image_size / min_crop_frac)
-    smaller_dim_size = rng.randint(min_smaller, max_smaller + 1)
+    if smaller_dim_size is None:
+        min_smaller = math.ceil(image_size / max_crop_frac)
+        max_smaller = math.floor(image_size / min_crop_frac)
+        smaller_dim_size = rng.randint(min_smaller, max_smaller + 1)
     img = Image.fromarray(arr.astype(np.uint8)) if arr.dtype != np.uint8 \
         else Image.fromarray(arr)
     while min(*img.size) >= 2 * smaller_dim_size:
@@ -217,8 +225,12 @@ class ImageDataset(FolderOfImages):
         """Replicates __getitem__'s pipeline for the native loader. For
         random crops the RNG draws (scale, crop offsets) happen here in
         the same order random_crop_arr would make them, using header-only
-        probed dimensions + the same resize-size arithmetic."""
+        probed dimensions + the same resize-size arithmetic. A file whose
+        header the native prober can't read is decoded in Python right
+        here (same draws: `smaller` above, then crop offsets inside
+        random_crop_arr) and returned as a ready array."""
         from . import native
+        from PIL import Image
         p = self.paths[idx]
         if not self.random_crop:
             return native.JobSpec(p, smaller_dim=self.image_size,
@@ -228,7 +240,11 @@ class ImageDataset(FolderOfImages):
         smaller = int(self.rng.randint(min_smaller, max_smaller + 1))
         dims = native.probe_size(p)
         if dims is None:
-            return None
+            with Image.open(p) as img:
+                arr = np.asarray(img.convert("RGB"))
+            arr = random_crop_arr(arr, self.image_size, rng=self.rng,
+                                  smaller_dim_size=smaller)
+            return arr.astype(np.float32) / 127.5 - 1
         w, h = dims
         while min(w, h) >= 2 * smaller:
             w, h = w // 2, h // 2

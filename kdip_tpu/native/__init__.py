@@ -17,7 +17,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -190,34 +190,98 @@ class NativeLoader:
             pass
 
 
-def batched_pipeline(specs: Sequence[JobSpec], batch_size: int,
-                     out_shape: Tuple[int, int, int], num_threads: int,
-                     drop_last: bool = False,
-                     prefetch_batches: int = 2) -> Iterator[np.ndarray]:
-    """Stream `specs` through the native pool as [B, H, W, C] float32
+def decode_spec_pil(spec: JobSpec) -> np.ndarray:
+    """Python re-execution of loader.cc's run_job for ONE JobSpec, via PIL
+    (loader.cc:395-448 semantics: resize chain, crop, flip, normalize).
+    All RNG is already resolved inside the spec, so this is deterministic —
+    it is the per-item fallback for files the C++ decoder rejects (e.g.
+    CMYK/YCCK JPEGs, which PIL converts to RGB)."""
+    from PIL import Image
+
+    filt = {FILTER_BOX: Image.BOX, FILTER_BILINEAR: Image.BILINEAR,
+            FILTER_BICUBIC: Image.BICUBIC,
+            FILTER_LANCZOS: Image.LANCZOS}[spec.filter]
+    with Image.open(spec.path) as im:
+        img = im.convert("RGB")
+        if spec.smaller_dim > 0:
+            while min(img.size) >= 2 * spec.smaller_dim:
+                img = img.resize((img.width // 2, img.height // 2),
+                                 Image.BOX)
+            scale = spec.smaller_dim / min(img.size)
+            img = img.resize((round(img.width * scale),
+                              round(img.height * scale)), filt)
+        elif spec.square_w > 0 and spec.square_h > 0:
+            img = img.resize((spec.square_w, spec.square_h), filt)
+        arr = np.asarray(img, dtype=np.float32)
+    cs = spec.crop_size
+    if cs > 0:
+        cx = spec.crop_x if spec.crop_x >= 0 else (arr.shape[1] - cs) // 2
+        cy = spec.crop_y if spec.crop_y >= 0 else (arr.shape[0] - cs) // 2
+        if cx < 0 or cy < 0 or cx + cs > arr.shape[1] or cy + cs > arr.shape[0]:
+            raise ValueError(f"crop out of bounds for {spec.path}")
+        arr = arr[cy:cy + cs, cx:cx + cs]
+    if spec.flip:
+        arr = arr[:, ::-1]
+    if spec.norm_mode == 0:
+        arr = arr / np.float32(127.5) - np.float32(1.0)
+    else:
+        arr = (arr / np.float32(255.0)) * np.float32(2.0) - np.float32(1.0)
+    return np.ascontiguousarray(arr, np.float32)
+
+
+def batched_pipeline(specs=None, batch_size: int = 1,
+                     out_shape: Tuple[int, int, int] = (0, 0, 0),
+                     num_threads: int = 1, drop_last: bool = False,
+                     prefetch_batches: int = 2, spec_fn=None,
+                     n_items: Optional[int] = None) -> Iterator[np.ndarray]:
+    """Stream items through the native pool as [B, H, W, C] float32
     batches, preserving order, decoding `prefetch_batches` batches ahead.
 
-    Raises RuntimeError on the first failed item (e.g. an image format the
-    native path does not handle) — callers decide whether to fall back.
+    Items come from `specs` (a materialized sequence) or lazily from
+    `spec_fn(i)` over `n_items` — lazy is what kdip_tpu.data uses so that
+    per-item RNG draws happen only `prefetch_batches` ahead of consumption
+    rather than a whole epoch up front. Each item is a JobSpec (decoded in
+    the C++ pool) or a ready [H, W, C] float32 array (pre-decoded on the
+    Python side, e.g. a file whose header the native prober can't read).
+
+    A per-item native decode failure (e.g. a CMYK JPEG the C++ decoder
+    rejects) is repaired transparently by re-decoding that item with
+    `decode_spec_pil` — matching the pure-Python path's PIL behavior —
+    before its batch is yielded. Only a file neither decoder can read
+    raises RuntimeError.
     """
-    n = len(specs)
+    n = len(specs) if specs is not None else int(n_items)
+    get_spec = (specs.__getitem__ if specs is not None else spec_fn)
     starts = list(range(0, n, batch_size))
     if drop_last:
         starts = [s for s in starts if s + batch_size <= n]
     if not starts:
         return
 
+    out_shape = tuple(out_shape)
     with NativeLoader(num_threads) as loader:
-        bufs: dict = {}       # batch_index -> (array, remaining_count)
-        errors: List[str] = []
+        bufs: dict = {}       # batch_index -> [array, remaining_count]
+        inflight: dict = {}   # tag -> JobSpec (for error messages/fallback)
+        failed: dict = {}     # batch_index -> [(tag, errmsg), ...]
 
         def submit_batch(bi: int) -> None:
             s = starts[bi]
-            items = specs[s:s + batch_size]
-            arr = np.empty((len(items),) + tuple(out_shape), np.float32)
-            bufs[bi] = [arr, len(items)]
-            for j, spec in enumerate(items):
-                loader.submit(spec, bi * batch_size + j, arr[j])
+            count = min(batch_size, n - s)
+            arr = np.empty((count,) + out_shape, np.float32)
+            entry = bufs[bi] = [arr, 0]
+            for j in range(count):
+                item = get_spec(s + j)  # lazy path: RNG draws happen here
+                if isinstance(item, np.ndarray):
+                    if item.shape != out_shape:
+                        raise RuntimeError(
+                            f"pre-decoded item {s + j} has shape "
+                            f"{item.shape}, expected {out_shape}")
+                    arr[j] = item
+                else:
+                    tag = bi * batch_size + j
+                    inflight[tag] = item
+                    loader.submit(item, tag, arr[j])
+                    entry[1] += 1
 
         next_submit = 0
         for _ in range(min(1 + prefetch_batches, len(starts))):
@@ -227,13 +291,26 @@ def batched_pipeline(specs: Sequence[JobSpec], batch_size: int,
         for bi in range(len(starts)):
             while bufs[bi][1] > 0:
                 tag, err, _ = loader.wait()
-                if err is not None:
-                    errors.append(f"{specs[tag].path}: {err}")
                 done_bi = tag // batch_size
+                if err is not None:
+                    failed.setdefault(done_bi, []).append((tag, err))
                 bufs[done_bi][1] -= 1
-            if errors:
-                raise RuntimeError("; ".join(errors))
             arr = bufs.pop(bi)[0]
+            for tag, err in failed.pop(bi, []):
+                spec = inflight[tag]
+                try:
+                    item = decode_spec_pil(spec)
+                except Exception as e:
+                    raise RuntimeError(
+                        f"{spec.path}: native decode failed ({err}); "
+                        f"PIL fallback failed: {e}") from e
+                if item.shape != out_shape:
+                    raise RuntimeError(
+                        f"{spec.path}: PIL fallback produced shape "
+                        f"{item.shape}, expected {out_shape}")
+                arr[tag % batch_size] = item
+            for j in range(arr.shape[0]):
+                inflight.pop(bi * batch_size + j, None)
             if next_submit < len(starts):
                 submit_batch(next_submit)
                 next_submit += 1

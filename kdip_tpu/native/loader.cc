@@ -548,37 +548,56 @@ void kdip_loader_destroy(void* handle) {
 }
 
 // Header-only size probe (for Python-side RNG draws that need dimensions
-// before the decode completes).
+// before the decode completes). Reads a bounded prefix: with random_crop
+// every image is probed (submitting thread) AND decoded (worker), so a
+// whole-file read here would double per-epoch file I/O and serialize it on
+// the submitting thread. Headers sit at the front; only a pathological
+// JPEG whose SOF lands past the prefix triggers the full-file retry.
 int kdip_probe_size(const char* path, int* w, int* h) {
-  std::vector<uint8_t> buf;
-  std::string err;
-  // JPEG headers sit in the first few KB but progressive files can push
-  // SOF late; reading the whole file keeps this simple and it is still
-  // ~100x cheaper than a decode.
-  if (!read_file(path, &buf, &err)) return -1;
-  if (buf.size() >= 2 && buf[0] == 0xFF && buf[1] == 0xD8) {
-    jpeg_decompress_struct cinfo;
-    JpegErr jerr;
-    cinfo.err = jpeg_std_error(&jerr.mgr);
-    jerr.mgr.error_exit = jpeg_err_exit;
-    if (setjmp(jerr.jb)) {
-      jpeg_destroy_decompress(&cinfo);
-      return -1;
+  constexpr size_t kPrefix = 64 * 1024;
+  for (int attempt = 0; attempt < 2; ++attempt) {
+    std::vector<uint8_t> buf;
+    bool whole_file = attempt == 1;
+    if (whole_file) {
+      std::string err;
+      if (!read_file(path, &buf, &err)) return -1;
+    } else {
+      FILE* f = std::fopen(path, "rb");
+      if (!f) return -1;
+      buf.resize(kPrefix);
+      size_t got = std::fread(buf.data(), 1, kPrefix, f);
+      // short read + no error == the prefix IS the whole file
+      whole_file = got < kPrefix && !std::ferror(f);
+      std::fclose(f);
+      buf.resize(got);
     }
-    jpeg_create_decompress(&cinfo);
-    jpeg_mem_src(&cinfo, buf.data(), static_cast<unsigned long>(buf.size()));
-    jpeg_read_header(&cinfo, TRUE);
-    *w = cinfo.image_width;
-    *h = cinfo.image_height;
-    jpeg_destroy_decompress(&cinfo);
-    return 0;
-  }
-  if (buf.size() >= 24 &&
-      std::memcmp(buf.data(), "\x89PNG\r\n\x1a\n", 8) == 0) {
-    // IHDR is always first: width/height big-endian at offsets 16/20.
-    *w = (buf[16] << 24) | (buf[17] << 16) | (buf[18] << 8) | buf[19];
-    *h = (buf[20] << 24) | (buf[21] << 16) | (buf[22] << 8) | buf[23];
-    return 0;
+    if (buf.size() >= 2 && buf[0] == 0xFF && buf[1] == 0xD8) {
+      jpeg_decompress_struct cinfo;
+      JpegErr jerr;
+      cinfo.err = jpeg_std_error(&jerr.mgr);
+      jerr.mgr.error_exit = jpeg_err_exit;
+      if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        if (whole_file) return -1;
+        continue;  // SOF past the prefix: retry with the full file
+      }
+      jpeg_create_decompress(&cinfo);
+      jpeg_mem_src(&cinfo, buf.data(),
+                   static_cast<unsigned long>(buf.size()));
+      jpeg_read_header(&cinfo, TRUE);
+      *w = cinfo.image_width;
+      *h = cinfo.image_height;
+      jpeg_destroy_decompress(&cinfo);
+      return 0;
+    }
+    if (buf.size() >= 24 &&
+        std::memcmp(buf.data(), "\x89PNG\r\n\x1a\n", 8) == 0) {
+      // IHDR is always first: width/height big-endian at offsets 16/20.
+      *w = (buf[16] << 24) | (buf[17] << 16) | (buf[18] << 8) | buf[19];
+      *h = (buf[20] << 24) | (buf[21] << 16) | (buf[22] << 8) | buf[23];
+      return 0;
+    }
+    return -1;  // unknown magic: a longer read will not help
   }
   return -1;
 }

@@ -76,12 +76,30 @@ def setup_dist(coordinator_address: Optional[str] = None,
         # already initialized (e.g. by the TPU runtime) — keep going
         if "already" not in str(e).lower():
             raise
-    except ValueError:
+    except ValueError as e:
         # a cluster marker was present but JAX's auto-detection could not
-        # resolve a coordinator (e.g. a single-worker launcher env) —
-        # treat as single process, like the reference's is_initialized()
-        # early-out (ref: dist_util.py:24-26)
-        pass
+        # resolve a coordinator. Only swallow for the AMBIGUOUS
+        # single-task case (e.g. Slurm with one task): when the markers
+        # positively indicate multiple workers, degrading silently to
+        # independent single-process training would be a correctness
+        # disaster — re-raise so the misconfiguration surfaces
+        # (ADVICE r3 #3).
+        multi = (
+            len([h for h in os.environ.get(
+                "TPU_WORKER_HOSTNAMES", "").split(",") if h]) > 1
+            or len([h for h in os.environ.get(
+                "TPU_PROCESS_ADDRESSES", "").split(",") if h]) > 1
+            or int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1") or 1) > 1
+            or int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
+            or (num_processes or 1) > 1)
+        if multi:
+            raise RuntimeError(
+                "multi-worker launch detected (cluster env markers list "
+                ">1 process) but jax.distributed.initialize() could not "
+                "resolve a coordinator — refusing to fall back to "
+                "independent single-process training") from e
+        print(f"setup_dist: cluster marker present but auto-detection "
+              f"failed ({e}); continuing single-process")
 
 
 def dev():

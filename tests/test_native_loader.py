@@ -178,3 +178,91 @@ def test_transform_applied_after_native_load(varied_dir):
     nat = list(ds.batches(2, num_workers=2))
     for a, b in zip(py, nat):
         np.testing.assert_array_equal(a, b)
+
+
+def test_cmyk_jpeg_per_item_pil_fallback(image_dir, tmp_path):
+    """A CMYK JPEG (passes the .jpg suffix pre-check; the C++ decoder
+    rejects it) must NOT abort the stream (ADVICE r3 #1): that one item is
+    re-decoded via PIL into its batch slot, identical to the Python path."""
+    from PIL import Image
+    import shutil
+    root = tmp_path / "with_cmyk"
+    shutil.copytree(image_dir, root)
+    rng = np.random.RandomState(7)
+    cmyk = Image.fromarray(rng.randint(0, 256, (64, 64, 4), np.uint8), "CMYK")
+    cmyk.save(root / "aa_cmyk.jpg")  # sorts first: lands mid-stream early
+    py = list(FolderOfImages(root, size=64).batches(4))
+    nat = list(FolderOfImages(root, size=64).batches(4, num_workers=4))
+    assert len(py) == len(nat) == 3
+    for a, b in zip(py, nat):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_cmyk_jpeg_random_crop_fallback(image_dir, tmp_path):
+    """Same per-item repair through ImageDataset's random-crop pipeline:
+    the JobSpec's pre-drawn crop params are replayed by the PIL fallback."""
+    from PIL import Image
+    import shutil
+    root = tmp_path / "rc_cmyk"
+    shutil.copytree(image_dir, root)
+    rng = np.random.RandomState(8)
+    Image.fromarray(rng.randint(0, 256, (80, 96, 4), np.uint8),
+                    "CMYK").save(root / "mm_cmyk.jpg")
+    py = list(ImageDataset(root, 32, random_crop=True, seed=3).batches(3))
+    nat = list(ImageDataset(root, 32, random_crop=True, seed=3).batches(
+        3, num_workers=3))
+    for a, b in zip(py, nat):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_unprobeable_file_decoded_python_side(image_dir, tmp_path):
+    """A .jpg whose header the native prober can't parse (BMP content):
+    _native_spec decodes it in Python with the same RNG draw order, and
+    the epoch still matches the synchronous path."""
+    from PIL import Image
+    import shutil
+    root = tmp_path / "bmp_as_jpg"
+    shutil.copytree(image_dir, root)
+    rng = np.random.RandomState(9)
+    Image.fromarray(rng.randint(0, 256, (70, 75, 3), np.uint8)).save(
+        root / "kk.bmp")
+    (root / "kk.bmp").rename(root / "kk.jpg")
+    assert native.probe_size(root / "kk.jpg") is None
+    py = list(ImageDataset(root, 32, random_crop=True, seed=4).batches(4))
+    nat = list(ImageDataset(root, 32, random_crop=True, seed=4).batches(
+        4, num_workers=2))
+    for a, b in zip(py, nat):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_rng_state_equal_after_full_epoch(image_dir):
+    """Specs are now drawn lazily (ADVICE r3 #2); after a fully consumed
+    epoch the dataset RNG state must match the synchronous path exactly,
+    so the NEXT epoch's crops agree across num_workers settings."""
+    a = ImageDataset(image_dir, 32, random_crop=True, seed=5)
+    b = ImageDataset(image_dir, 32, random_crop=True, seed=5)
+    e1a = list(a.batches(3))
+    e1b = list(b.batches(3, num_workers=4))
+    sa, sb = a.rng.get_state(), b.rng.get_state()
+    assert sa[0] == sb[0] and (sa[1] == sb[1]).all() and sa[2:] == sb[2:]
+    for x, y in zip(a.batches(3), b.batches(3, num_workers=4)):
+        np.testing.assert_array_equal(x, y)
+    for x, y in zip(e1a, e1b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_probe_size_survives_marker_bloat(image_dir, tmp_path):
+    """The probe reads a bounded prefix (ADVICE r3 #4); a JPEG with >64KB
+    of APPn segments before SOF must still probe via the full-file retry."""
+    from PIL import Image
+    rng = np.random.RandomState(10)
+    src = tmp_path / "plain.jpg"
+    Image.fromarray(rng.randint(0, 256, (48, 56, 3), np.uint8)).save(src)
+    data = src.read_bytes()
+    assert data[:2] == b"\xff\xd8"
+    seg = b"\xff\xe2" + (0xFFFB + 2).to_bytes(2, "big") + b"\x00" * 0xFFFB
+    bloated = tmp_path / "bloated.jpg"
+    bloated.write_bytes(data[:2] + seg * 2 + data[2:])  # ~128KB of APP2
+    assert native.probe_size(bloated) == (56, 48)
+    # and the plain file must probe from the prefix alone (same answer)
+    assert native.probe_size(src) == (56, 48)

@@ -195,3 +195,21 @@ def test_multiprocess_dist(tmp_path):
     for log in logs:
         got = losses(log)
         assert got == pytest.approx(want, abs=2e-4), (got, want)
+
+
+def test_setup_dist_refuses_silent_multiworker_degrade(monkeypatch):
+    """ADVICE r3 #3: when cluster markers positively indicate >1 process
+    but coordinator auto-detection fails, setup_dist must raise instead of
+    silently training independent single-process replicas."""
+    from kdip_tpu.parallel import dist
+
+    def broken_init(*a, **k):
+        raise ValueError("could not resolve coordinator")
+    monkeypatch.setattr(jax.distributed, "initialize", broken_init)
+    monkeypatch.setenv("SLURM_JOB_ID", "123")
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    with pytest.raises(RuntimeError, match="refusing to fall back"):
+        dist.setup_dist()
+    # the ambiguous single-task case still degrades gracefully
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    dist.setup_dist()  # no raise
