@@ -165,3 +165,47 @@ def test_dwt2_hand_computed_golden_vectors():
                      [0.0, 0.0, 0.0, 0.0],
                      [0.0, 0.0, 0.0, 0.0]])
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Second, independently derived oracle: pywt's CODE STRUCTURE (dwtn's key
+# loop, wavedec2's level loop, coeffs_to_array's quadrant tiling) emulated
+# from memory of the implementation in tests/pywt_structural.py — vs the
+# dense-matrix oracle above, which derives from the DOCUMENTED semantics.
+# Real pywt source cannot be vendored here (no egress; see the module
+# docstring of pywt_structural.py); run scripts/validate_pywt_layout.py
+# wherever pywt is installable to close the loop against the real package.
+# ---------------------------------------------------------------------------
+
+import pywt_structural as pws  # noqa: E402
+
+
+@pytest.mark.parametrize("level,size", [(1, 8), (2, 16), (3, 32)])
+def test_structural_emulation_agrees_with_dense_oracle(level, size):
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, size, size)
+    np.testing.assert_allclose(pws.wavedec2_packed(x, level),
+                               pywt_wavedec2_packed(x, level),
+                               rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("level,size", [(1, 8), (3, 32), (3, 256)])
+def test_dwt2_matches_structural_emulation(level, size, x64):
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, size, size, 1).astype(np.float64)
+    ours = np.asarray(tfm.dwt2(jnp.asarray(x, dtype=jnp.float64),
+                               level=level))
+    ref = np.moveaxis(pws.wavedec2_packed(np.moveaxis(x, -1, 1), level),
+                      1, -1)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-12)
+
+
+def test_structural_dwt2_tuple_ordering():
+    """Pins dwt2's return convention (cA, (cH='da', cV='ad', cD='dd')):
+    an image varying only along axis -2 (rows) has ALL its detail energy
+    in cH."""
+    x = np.zeros((8, 8))
+    x[0, :] = 1.0
+    cA, (cH, cV, cD) = pws.dwt2(x)
+    assert np.abs(cH).sum() > 0
+    assert np.abs(cV).sum() == 0 and np.abs(cD).sum() == 0
