@@ -113,7 +113,8 @@ def main(argv=None):
                         [batch, np.zeros((pad,) + batch.shape[1:],
                                          batch.dtype)])
                 placed = sh.shard_batch(jnp.asarray(batch), mesh)
-                out = np.asarray(extractor(placed))[:real_n]
+                # cross-process all-gather (multi-host) / host read (single)
+                out = sh.gather_to_host(extractor(placed))[:real_n]
             else:
                 out = np.asarray(extractor(jnp.asarray(batch)))
             feats.append(out)
@@ -130,10 +131,13 @@ def main(argv=None):
         "n_fake": int(f_fake.shape[0]),
         "backbone": args.backbone,
     }
-    print(json.dumps(out))
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(out, f, indent=2)
+    # every process computes (and returns) the metrics from the gathered
+    # features; only process 0 reports, like the reference's rank-0 logging
+    if jax.process_index() == 0:
+        print(json.dumps(out))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=2)
     return out
 
 

@@ -129,6 +129,18 @@ def data_parallel(fn: Callable, mesh: Mesh, batch_argnums: Sequence[int] = (1,),
     return wrapper
 
 
+def gather_to_host(x) -> np.ndarray:
+    """Full host value of a (possibly cross-process) sharded array — the
+    TPU-native form of the reference's accelerate.gather
+    (k_diffusion/evaluation.py:59). Single-process meshes read the value
+    directly; multi-process meshes all-gather the shards over ICI/DCN so
+    every host gets the complete array."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def make_sharded_sampler(sample_fn: Callable, mesh: Mesh, axis: str = "dp"):
     """Batch-parallel posterior sampling: each device reconstructs its own
     images. `sample_fn(params, measurement, key)` must be batched over the

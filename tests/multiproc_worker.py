@@ -50,6 +50,9 @@ def main():
     synced = dist.sync_params({"p": jnp.full((3,), float(pid))})
 
     import __graft_entry__ as g
+    # the global (4*nproc)-device mesh is provisioned by jax.distributed,
+    # not by local XLA flags — mark it so the env-only check passes
+    os.environ["KDIP_DRYRUN_IN_CHILD"] = "1"
     g.dryrun_multichip(4 * nproc)  # prints the dp + fsdp losses
 
     with open(out, "w") as f:

@@ -197,6 +197,83 @@ def test_multiprocess_dist(tmp_path):
         assert got == pytest.approx(want, abs=2e-4), (got, want)
 
 
+@pytest.mark.slow
+def test_multiprocess_eval_and_sampling(tmp_path):
+    """Multi-process coverage for the remaining collective patterns
+    (VERDICT r3 #6): the real `cli/evaluate --dp` feature extraction with
+    its cross-process all-gather, and dp-sharded guided sampling over the
+    global mesh — both must reproduce a single-process run exactly.
+    (Ref capabilities: k_diffusion/evaluation.py:53-63 accelerate.gather;
+    scale-out sampling the reference lacks.)"""
+    import json
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multiproc_eval_worker.py")
+
+    rng = np.random.RandomState(0)
+    for name in ("real", "fake"):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(12):
+            arr = rng.randint(0, 256, (16, 16, 3), np.uint8)
+            Image.fromarray(arr).save(d / f"{name}_{i:02d}.png")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    def env_with(n_local):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                       env.get("XLA_FLAGS", ""))
+        env["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_local}"
+        ).strip()
+        return env
+
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"evalworker{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port),
+             str(tmp_path / "real"), str(tmp_path / "fake"), str(out)],
+            env=env_with(4), cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    logs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    # single-process oracle: same worker logic, 1 process x 8 devices
+    oracle_out = tmp_path / "oracle.json"
+    oracle = subprocess.run(
+        [sys.executable, worker, "0", "1", str(port),
+         str(tmp_path / "real"), str(tmp_path / "fake"), str(oracle_out)],
+        env=env_with(8), cwd=repo, capture_output=True, text=True,
+        timeout=900)
+    assert oracle.returncode == 0, oracle.stdout[-2000:] + oracle.stderr[-2000:]
+    want = json.loads(oracle_out.read_text())
+
+    for out in outs:
+        got = json.loads(out.read_text())
+        # identical metrics from the gathered features on every process
+        assert got["fid"] == pytest.approx(want["fid"], rel=1e-5)
+        assert got["kid"] == pytest.approx(want["kid"], rel=1e-5, abs=1e-8)
+        assert got["n_real"] == want["n_real"] == 12
+        # identical guided samples across the process split
+        np.testing.assert_allclose(np.asarray(got["samples"]),
+                                   np.asarray(want["samples"]), atol=1e-4)
+
+
 def test_setup_dist_refuses_silent_multiworker_degrade(monkeypatch):
     """ADVICE r3 #3: when cluster markers positively indicate >1 process
     but coordinator auto-detection fails, setup_dist must raise instead of
