@@ -21,7 +21,8 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("kind", choices=["adm", "v2", "lpips", "recon_mse"])
+    p.add_argument("kind", choices=["adm", "v2", "lpips", "inception",
+                                    "recon_mse"])
     p.add_argument("--src", required=True, help="source torch file")
     p.add_argument("--lin", default=None,
                    help="lpips lin-layer weights file (for kind=lpips)")
@@ -56,6 +57,15 @@ def main(argv=None):
                 flat[f"{mod}.{name}"] = np.asarray(arr)
         np.savez(args.out, **flat)
         print(f"saved LPIPS weights ({len(flat)} arrays) to {args.out}")
+    elif args.kind == "inception":
+        # clean-fid / pytorch-fid InceptionV3 FID weights
+        # (pt_inception-2015-12-05-*.pth, torchvision Inception3 naming;
+        # ref consumer: k_diffusion/evaluation.py:17-34)
+        from ..models.inception import convert_inception_state_dict
+        params = convert_inception_state_dict(
+            ckpt.load_torch_checkpoint(args.src))
+        ckpt.save_checkpoint(args.out, params)
+        print(f"saved InceptionV3 params to {args.out}")
     elif args.kind == "recon_mse":
         import torch
         data = torch.load(args.src, map_location="cpu")

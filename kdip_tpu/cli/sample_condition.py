@@ -316,9 +316,16 @@ def main(argv=None):
         # mirror, but no published lpips/torchvision weight file has flowed
         # through in this environment — label the number accordingly until
         # one has (VERDICT r2 weak #2)
-        avg["lpips_note"] = ("computed with converted weights; converter "
-                            "unvalidated against published lpips package "
-                            "outputs in this environment")
+        avg["lpips_note"] = (
+            "computed with converted weights; converter unvalidated "
+            "against published lpips package outputs in this environment. "
+            "To validate: check the weight files against "
+            "kdip_tpu/manifests/lpips_vgg16.json "
+            "(scripts/make_weight_manifests.py --check), convert with "
+            "`python -m kdip_tpu.cli.convert_weights lpips --src "
+            "vgg16-397923af.pth --lin lpips/weights/v0.1/vgg.pth --out "
+            "lpips_vgg.npz`, then compare lpips_vgg() to "
+            "lpips.LPIPS(net='vgg') on shared inputs")
     print(avg, flush=True)
     save_yaml(avg, os.path.join(args.logdir, "avg_metrics.yaml"))
     return avg
