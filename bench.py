@@ -134,6 +134,9 @@ def main():
 
     import kdip_tpu as K
     from kdip_tpu.models import adm
+    from kdip_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     # KDIP_BENCH_WINOGRAD=1 routes the UNet's 3x3 convs through the
     # Pallas-fused Winograd F(2,3) path (ops/winograd_pallas.py) for A/B.

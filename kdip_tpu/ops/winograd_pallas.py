@@ -114,10 +114,20 @@ def _wino_kernel(*refs, tb: int, tw: int, twp: int,
         for p in range(4):
             pi, pj = p // 2, p % 2
             t = slab[p].astype(jnp.float32) * av + bv
-            s = jax.nn.silu(t.astype(dtype))
+            # replay the reference rounding of the affine output, but run the
+            # silu itself on f32 lanes: Mosaic's bf16 logistic lowering emits
+            # an f32->bf16 vector.broadcast that fails verification on-chip
+            # (XLA's own bf16 silu also evaluates at excess precision, so
+            # this matches the _FusedGroupNorm composition to <1 bf16 ulp)
+            t = t.astype(dtype).astype(jnp.float32)
+            s = jax.nn.silu(t).astype(dtype)
             pad = ((rows == (0 if pi == 0 else th))
                    | (cols == (0 if pj == 0 else tw)))
-            outs.append(jnp.where(pad[:, :, None], jnp.zeros_like(s), s))
+            # Mosaic can only insert a minor dim on 32-bit lanes: reshape a
+            # f32 keep-mask, cast after, and multiply (an i1/bf16 [:, :, None]
+            # fails on-chip with "Insertion of minor dim that is not a no-op")
+            keep = jnp.where(pad, 0.0, 1.0)[:, :, None].astype(s.dtype)
+            outs.append(s * keep)
         slab = jnp.stack(outs, axis=0)
 
     # the 16 tile views, as unit-stride slices of the parity slab

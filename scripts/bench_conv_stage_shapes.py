@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from kdip_tpu.ops import conv_mxu
+from kdip_tpu.utils import enable_compilation_cache
+enable_compilation_cache()
 from kdip_tpu.ops.winograd import winograd_conv3x3_jnp
 
 # (H, C_in, C_out): the FFHQ-256 torso's distinct 3x3 stride-1 stages
@@ -46,12 +48,33 @@ def wino_pallas(x, k):
     return winograd_conv3x3_pallas(x, k)
 
 
-def time_fn(fn, *args, repeats):
-    out = jax.block_until_ready(fn(*args))  # compile
+def time_fn(fn, x, k, repeats, grad=False):
+    """Scan-chained on-device timing: `repeats` iterations with a forced
+    data dependence between them, one dispatch total. Per-dispatch wall
+    timing (async dispatch + block on the last result) is UNRELIABLE on the
+    axon transport — it reported 1165 TF/s for a single conv, 6x the bf16
+    peak, i.e. it measures host dispatch cost, not device time. The scan
+    chain is the same harness bench_winograd.py uses; its feedback add
+    costs one x-sized read+write per iteration, identical across variants."""
+    if grad:
+        def step(xx, kk):
+            return jax.grad(lambda q, w: jnp.sum(fn(q, w) ** 2),
+                            argnums=0)(xx, kk)
+    else:
+        step = fn
+
+    @jax.jit
+    def run(xx, kk):
+        def body(c, _):
+            out = step(c, kk)
+            fb = (jnp.sum(out.astype(jnp.float32)) * 1e-12).astype(c.dtype)
+            return c + fb, None
+        out, _ = jax.lax.scan(body, xx, None, length=repeats)
+        return jnp.sum(out.astype(jnp.float32))
+
+    _ = float(run(x, k))  # compile
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    _ = float(run(x, k))
     return (time.perf_counter() - t0) / repeats
 
 
@@ -61,6 +84,8 @@ def main():
     p.add_argument("--batches", type=int, nargs="*", default=[1, 4])
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--out", default=None)
+    p.add_argument("--variants", nargs="*", default=None,
+                   help="subset of variant names (default: all)")
     args = p.parse_args()
     dtype = jnp.dtype(args.dtype)
 
@@ -71,6 +96,8 @@ def main():
         variants["wino_pallas"] = wino_pallas
     except Exception as e:  # pallas unavailable on this backend
         print(f"# wino_pallas skipped: {type(e).__name__}", file=sys.stderr)
+    if args.variants:
+        variants = {n: f for n, f in variants.items() if n in args.variants}
 
     rows = []
     for B in args.batches:
@@ -83,14 +110,9 @@ def main():
             base = {}
             for name, fn in variants.items():
                 try:
-                    fwd = jax.jit(fn)
-                    t_f = time_fn(fwd, x, k, repeats=args.repeats)
-
-                    def loss(xx, kk, fn=fn):
-                        return jnp.sum(fn(xx, kk) ** 2)
-
-                    gr = jax.jit(jax.grad(loss, argnums=(0, 1)))
-                    t_g = time_fn(gr, x, k, repeats=args.repeats)
+                    t_f = time_fn(fn, x, k, repeats=args.repeats)
+                    t_g = time_fn(fn, x, k, repeats=args.repeats,
+                                  grad=True)
                 except Exception as e:
                     print(f"# {name} B={B} H={H} C={C}: "
                           f"{type(e).__name__}: {e}", file=sys.stderr)

@@ -21,13 +21,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from kdip_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def in_scan_time(fn, args, iters=16):
     @jax.jit
     def run(a):
         def body(c, _):
             out = fn(c, *a[1:])
-            return c + 1e-12 * out[..., :c.shape[-1]].astype(c.dtype), None
+            # chain iterations without assuming out channels >= in channels
+            fb = jnp.sum(out.astype(jnp.float32)) * 1e-12
+            return c + fb.astype(c.dtype), None
         out, _ = jax.lax.scan(body, a[0], None, length=iters)
         return jnp.sum(out.astype(jnp.float32))
 
@@ -37,7 +43,7 @@ def in_scan_time(fn, args, iters=16):
     return (time.time() - t0) / iters * 1e3  # ms
 
 
-def level1(iters):
+def level1(iters, only_shape=None):
     from kdip_tpu.ops import winograd as wg
     from kdip_tpu.ops import winograd_pallas as wp
 
@@ -51,6 +57,8 @@ def level1(iters):
     shapes = [(256, 128, 128), (256, 256, 128), (128, 256, 256),
               (64, 256, 256), (32, 512, 512)]
     for hw, c, f in shapes:
+        if only_shape is not None and list(only_shape) != [hw, c, f]:
+            continue
         x = jax.random.normal(jax.random.key(0), (1, hw, hw, c),
                               jnp.bfloat16)
         w = jax.random.normal(jax.random.key(1), (3, 3, c, f),
@@ -109,6 +117,12 @@ def level3():
     m_win = adm.ffhq_unet(dtype=jnp.bfloat16, winograd=True)
     m_f32 = adm.ffhq_unet(dtype=jnp.float32)
     params = m_dir.init(jax.random.key(3), x, t)["params"]
+    # de-vacuate: zero-init out_convs annihilate the compared contributions
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.key(4), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [0.05 * jax.random.normal(k, l.shape, l.dtype)
+                  for k, l in zip(keys, leaves)])
     y_ref = jax.jit(lambda p, q: m_f32.apply({"params": p}, q, t))(params, x)
     y_dir = jax.jit(lambda p, q: m_dir.apply({"params": p}, q, t))(params, x)
     y_win = jax.jit(lambda p, q: m_win.apply({"params": p}, q, t))(params, x)
@@ -124,9 +138,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--level", type=int, nargs="+", default=[1, 2, 3])
     p.add_argument("--iters", type=int, default=16)
+    p.add_argument("--shape", type=int, nargs=3, default=None,
+                   help="restrict level 1 to one (hw, cin, cout) shape")
     args = p.parse_args()
     if 1 in args.level:
-        level1(args.iters)
+        level1(args.iters, args.shape)
     if 2 in args.level:
         level2(args.iters)
     if 3 in args.level:

@@ -32,13 +32,18 @@ def test_bench_module_has_no_jax_at_import():
 
 
 def test_outage_emits_structured_json():
-    """Black-holed transport: probe times out, one error JSON line, rc 0."""
+    """Hung transport: probe times out, one error JSON line, rc 0.
+
+    A black-holed PALLAS_AXON_POOL_IPS is not enough to simulate the outage
+    when a local axon terminal proxy is alive (it serves the plugin
+    regardless, and the probe comes back UP — seen 2026-08-19). Instead the
+    probe timeout is set below any possible jax import + backend init, so
+    the real subprocess-probe machinery takes its TimeoutExpired path
+    deterministically, whatever the transport's weather."""
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
-    env["PALLAS_AXON_POOL_IPS"] = "10.255.255.1"
-    env["PALLAS_AXON_REMOTE_COMPILE"] = "1"
     env["KDIP_BENCH_PROBE_WINDOW"] = "1"
-    env["KDIP_BENCH_PROBE_TIMEOUT"] = "10"
+    env["KDIP_BENCH_PROBE_TIMEOUT"] = "0.2"
     r = subprocess.run([sys.executable, os.path.join(REPO_ROOT, "bench.py")],
                        env=env, capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr[-1000:]
