@@ -89,7 +89,11 @@ def outage_protocol() -> int:
     KDIP_BENCH_PROBE_TIMEOUT (s, default 120),
     KDIP_BENCH_RUN_TIMEOUT (s, default 2400)."""
     window = float(os.environ.get("KDIP_BENCH_PROBE_WINDOW", "1800"))
-    probe_timeout = float(os.environ.get("KDIP_BENCH_PROBE_TIMEOUT", "120"))
+    # 180s, not 120: the probe subprocess pays a cold python+jax import and
+    # backend init before its matmul, and on this 1-core host a concurrent
+    # CPU load pushed that past 120s with a HEALTHY transport (3 false
+    # "down" verdicts observed 2026-08-19; the retry window absorbed them)
+    probe_timeout = float(os.environ.get("KDIP_BENCH_PROBE_TIMEOUT", "180"))
     run_timeout = float(os.environ.get("KDIP_BENCH_RUN_TIMEOUT", "2400"))
 
     t0, attempts, up = time.time(), 0, False

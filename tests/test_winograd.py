@@ -361,24 +361,45 @@ def test_guided_sampling_through_winograd_torso():
     assert diff < 0.2, diff
 
 
+_DP_SHARDING_BODY = """
+import jax, jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from kdip_tpu.models import adm
+
+assert len(jax.devices()) >= 2
+mesh = Mesh(jax.devices(), ("dp",))
+model = adm.ADMUNet(in_channels=3, model_channels=32, out_channels=6,
+                    num_res_blocks=1, attention_resolutions=(2,),
+                    channel_mult=(1, 2), num_heads=2,
+                    dtype=jnp.bfloat16, winograd=True)
+n = len(jax.devices())
+x = jax.random.uniform(jax.random.key(0), (n, 16, 16, 3)) * 2 - 1
+t = jnp.full((n,), 11.0)
+p = model.init(jax.random.key(1), x[:1], t[:1])["params"]
+xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+ps = jax.device_put(p, NamedSharding(mesh, P()))
+y = jax.jit(lambda pp, xx: model.apply({"params": pp}, xx, t))(ps, xs)
+assert y.shape == (n, 16, 16, 6) and bool(jnp.isfinite(y).all())
+print("DP_SHARDING_OK")
+"""
+
+
 def test_winograd_under_dp_sharding():
     """The pallas path must compose with NamedSharding/jit (the --dp eval
-    layout): batch sharded over the mesh, params replicated."""
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from kdip_tpu.models import adm
+    layout): batch sharded over the mesh, params replicated.
 
+    Runs in a FRESH subprocess: 8 concurrent Pallas-interpret executions
+    under pjit twice crashed the long-lived suite interpreter with a
+    bare SIGABRT mid-suite (~44 tests of prior XLA CPU state; round 3's
+    ~92% 'Fatal Python error' and again 2026-08-19) while always passing
+    in a clean process. Isolation keeps the coverage and removes the
+    suite-killer; the winograd path is opt-in-off (RESULTS.md rejection),
+    so a crash here must never take down the default-path suite run."""
     if len(jax.devices()) < 2:
         pytest.skip("needs a multi-device mesh")
-    mesh = Mesh(jax.devices(), ("dp",))
-    model = adm.ADMUNet(in_channels=3, model_channels=32, out_channels=6,
-                        num_res_blocks=1, attention_resolutions=(2,),
-                        channel_mult=(1, 2), num_heads=2,
-                        dtype=jnp.bfloat16, winograd=True)
-    n = len(jax.devices())
-    x = jax.random.uniform(jax.random.key(0), (n, 16, 16, 3)) * 2 - 1
-    t = jnp.full((n,), 11.0)
-    p = model.init(jax.random.key(1), x[:1], t[:1])["params"]
-    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
-    ps = jax.device_put(p, NamedSharding(mesh, P()))
-    y = jax.jit(lambda pp, xx: model.apply({"params": pp}, xx, t))(ps, xs)
-    assert y.shape == (n, 16, 16, 6) and bool(jnp.isfinite(y).all())
+    import subprocess
+    import sys
+    r = subprocess.run([sys.executable, "-c", _DP_SHARDING_BODY],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, (r.stdout[-500:], r.stderr[-1500:])
+    assert "DP_SHARDING_OK" in r.stdout
