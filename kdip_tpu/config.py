@@ -151,6 +151,6 @@ def make_denoiser_wrapper(config: Dict):
         return kind, sigma_data, ortho_tf_type
     if loss_config == "simple":
         if has_variance:
-            raise ValueError("Simple loss config does not support a variance output")
+            raise ValueError("the simple loss cannot train a variance head")
         return "simple", sigma_data, ortho_tf_type
     raise ValueError("Unknown loss config type")

@@ -31,7 +31,7 @@ def get_named_beta_schedule(schedule_name: str, num_diffusion_timesteps: int) ->
             return math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
         return betas_for_alpha_bar(num_diffusion_timesteps, alpha_bar)
     else:
-        raise NotImplementedError(f"unknown beta schedule: {schedule_name}")
+        raise NotImplementedError(f"unrecognized beta schedule {schedule_name!r}")
 
 
 def betas_for_alpha_bar(num_diffusion_timesteps: int, alpha_bar, max_beta: float = 0.999) -> np.ndarray:
@@ -45,35 +45,56 @@ def betas_for_alpha_bar(num_diffusion_timesteps: int, alpha_bar, max_beta: float
 
 
 def space_timesteps(num_timesteps: int, section_counts: Union[str, Sequence[int]]) -> set:
-    """Subsample timesteps from the original process (ref: respace.py:7-60)."""
+    """Choose which original-process timesteps a respaced run keeps.
+
+    Accepts a comma-separated count string (one count per equal-length
+    section of the original schedule), a "ddimN" string (strided DDIM
+    spacing), or a sequence of ints; returns the kept original indices as a
+    set. Output-equivalent to the reference respacing (ref: respace.py:7-60
+    — oracle-tested in tests/test_schedules.py / test_script_util.py and
+    swept exhaustively against it over random section lists).
+    """
     if isinstance(section_counts, str):
         if section_counts.startswith("ddim"):
-            desired_count = int(section_counts[len("ddim"):])
-            for i in range(1, num_timesteps):
-                if len(range(0, num_timesteps, i)) == desired_count:
-                    return set(range(0, num_timesteps, i))
-            raise ValueError(f"cannot create exactly {num_timesteps} steps with an integer stride")
+            want = int(section_counts[len("ddim"):])
+            # a stride of s keeps ceil(T/s) indices; search for the stride
+            # whose kept count hits the target exactly
+            for stride in range(1, num_timesteps):
+                if -(-num_timesteps // stride) == want:
+                    return set(range(0, num_timesteps, stride))
+            raise ValueError(
+                f"no integer stride over {num_timesteps} timesteps keeps "
+                f"exactly {want} DDIM steps")
         section_counts = [int(x) for x in section_counts.split(",")]
-    size_per = num_timesteps // len(section_counts)
-    extra = num_timesteps % len(section_counts)
-    start_idx = 0
-    all_steps = []
-    for i, section_count in enumerate(section_counts):
-        size = size_per + (1 if i < extra else 0)
-        if size < section_count:
-            raise ValueError(f"cannot divide section of {size} steps into {section_count}")
-        if section_count <= 1:
-            frac_stride = 1
-        else:
-            frac_stride = (size - 1) / (section_count - 1)
-        cur_idx = 0.0
-        taken_steps = []
-        for _ in range(section_count):
-            taken_steps.append(start_idx + round(cur_idx))
-            cur_idx += frac_stride
-        all_steps += taken_steps
-        start_idx += size
-    return set(all_steps)
+
+    n_sections = len(section_counts)
+    base_len, leftover = divmod(num_timesteps, n_sections)
+    chosen: set = set()
+    offset = 0
+    for i, count in enumerate(section_counts):
+        length = base_len + (1 if i < leftover else 0)
+        if count > length:
+            raise ValueError(
+                f"section {i} spans only {length} timesteps — too few to "
+                f"pick {count} distinct steps from")
+        if count >= 2:
+            # evenly spaced from 0 to length-1 inclusive. The positions are
+            # built by sequential accumulation (np.add.accumulate) rather
+            # than linspace because published configs pin the EXACT rounded
+            # index set, which depends on repeated-addition float error:
+            # when a multiple of the stride is an exact x.5 in rationals,
+            # accumulated floats land a hair off it and round the other way
+            # than a multiply would. np.round's half-to-even matches the
+            # builtin round the behavior is defined by.
+            stride = (length - 1) / (count - 1)
+            pos = np.empty(count)
+            pos[0] = 0.0
+            np.add.accumulate(np.full(count - 1, stride), out=pos[1:])
+            chosen.update(int(offset + p) for p in np.round(pos))
+        elif count == 1:
+            chosen.add(offset)
+        offset += length
+    return chosen
 
 
 class DiffusionTables(NamedTuple):

@@ -142,7 +142,7 @@ def make_openai_uncond(model_apply: Callable, tables: diff.DiffusionTables,
             assert x0_mean_vjp is not None
             ones = jnp.ones(x_shape)
             return x0_mean_vjp(ones)[0] * sigma ** 2
-        raise ValueError("Invalid posterior covariance type.")
+        raise ValueError(f"unrecognized posterior covariance type {cfg.x0_cov_type!r}")
 
     return uncond_pred, x0_var_fn
 
@@ -537,7 +537,7 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
 
     def dps(x, sigma, key):
         """ref: condition.py:140-148"""
-        assert cfg.zeta is not None, "zeta must be specified for DPS guidance"
+        assert cfg.zeta is not None, "DPS guidance requires a zeta step size"
         x0_mean, aux, mean_vjp = _moments_and_vjp(x, sigma)
         fwd, op_vjp = jax.vjp(operator.forward, x0_mean)
         difference = y - fwd

@@ -54,7 +54,7 @@ class HumanOutputFormat(KVWriter, SeqWriter):
             valstr = f"{val:<8.3g}" if hasattr(val, "__float__") else str(val)
             key2str[self._truncate(key)] = self._truncate(valstr)
         if not key2str:
-            print("WARNING: tried to write empty key-value dict")
+            print("WARNING: skipping write of an empty key-value dict")
             return
         keywidth = max(map(len, key2str.keys()))
         valwidth = max(map(len, key2str.values()))

@@ -48,7 +48,7 @@ __OPERATOR__: Dict[str, Callable] = {}
 def register_operator(name: str):
     def wrapper(builder):
         if name in __OPERATOR__:
-            raise NameError(f"Name {name} is already registered!")
+            raise NameError(f"operator name {name!r} registered twice")
         __OPERATOR__[name] = builder
         return builder
     return wrapper
@@ -58,7 +58,7 @@ def get_operator(name: str, **kwargs):
     """Builds an operator from a config dict (the reference's YAML fields,
     ref: configs/*_config.yaml). Unknown names raise, like measurements.py:36-39."""
     if name not in __OPERATOR__:
-        raise NameError(f"Name {name} is not defined.")
+        raise NameError(f"no operator registered under {name!r}")
     kwargs.pop("device", None)
     return __OPERATOR__[name](**kwargs)
 
@@ -454,7 +454,7 @@ def register_noise(name: str):
 
 def get_noise(name: str, **kwargs):
     if name not in __NOISE__:
-        raise NameError(f"Name {name} is not defined.")
+        raise NameError(f"no operator registered under {name!r}")
     fn = __NOISE__[name]
     out = lambda data, key: fn(data, key, **kwargs)
     out.__name__ = name

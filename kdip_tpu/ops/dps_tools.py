@@ -107,7 +107,7 @@ def mask_image(key, x: jnp.ndarray, bboxes, image_shape: Tuple[int, int],
             x, (B, H // mosaic_unit_size, W // mosaic_unit_size, C), "nearest")
         up = jax.image.resize(small, (B, height, width, C), "nearest")
         return up * mask + x * (1.0 - mask), mask
-    raise NotImplementedError("Not implemented mask type.")
+    raise NotImplementedError("unrecognized mask type")
 
 
 def spatial_discounting_mask(mask_shape: Tuple[int, int],

@@ -249,7 +249,7 @@ def calculate_psnr(img1: np.ndarray, img2: np.ndarray,
     """PSNR on [0,255] images with optional border crop
     (ref: utils_image.py:546-559)."""
     if img1.shape != img2.shape:
-        raise ValueError("Input images must have the same dimensions.")
+        raise ValueError("both images must share the same shape")
     a = shave(img1, border).astype(np.float64)
     b = shave(img2, border).astype(np.float64)
     mse = np.mean((a - b) ** 2)
@@ -306,7 +306,7 @@ def calculate_ssim(img1: np.ndarray, img2: np.ndarray,
     every channel, so the mean equals one whole-array evaluation; we compute
     that directly (per-channel valid-window stats, averaged)."""
     if img1.shape != img2.shape:
-        raise ValueError("Input images must have the same dimensions.")
+        raise ValueError("both images must share the same shape")
     a = shave(img1, border)
     b = shave(img2, border)
     if a.ndim == 2:
@@ -316,7 +316,7 @@ def calculate_ssim(img1: np.ndarray, img2: np.ndarray,
     if a.ndim == 3:
         return float(np.mean([_ssim_single(a[..., c], b[..., c])
                               for c in range(a.shape[2])]))
-    raise ValueError("Wrong input image dimensions.")
+    raise ValueError("expected a 2D or 3D image array")
 
 
 # ---------------------------------------------------------------------------
@@ -545,8 +545,8 @@ def tensor2img(tensor, out_type=np.uint8, min_max=(0, 1)) -> np.ndarray:
     elif arr.ndim == 2:
         img_np = arr
     else:
-        raise TypeError(f"Only support 4D, 3D and 2D tensor. "
-                        f"But received with dimension: {arr.ndim}")
+        raise TypeError(
+            f"tensor2img expects a 2D, 3D, or 4D array, got {arr.ndim}D")
     if out_type == np.uint8:
         img_np = (img_np * 255.0).round()
     return img_np.astype(out_type)

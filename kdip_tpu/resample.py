@@ -22,7 +22,7 @@ def create_named_schedule_sampler(name: str, num_timesteps: int):
     elif name == "loss-second-moment":
         return LossSecondMomentResampler(num_timesteps)
     else:
-        raise NotImplementedError(f"unknown schedule sampler: {name}")
+        raise NotImplementedError(f"unrecognized schedule sampler {name!r}")
 
 
 class ScheduleSampler(ABC):

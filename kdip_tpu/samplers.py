@@ -193,7 +193,7 @@ def linear_multistep_coeff(order, t, i, j):
     (ref: k_diffusion/sampling.py:246-256). Host-side numerics."""
     from scipy import integrate
     if order - 1 > i:
-        raise ValueError(f"Order {order} too high for step {i}")
+        raise ValueError(f"LMS order {order} exceeds the {i} steps available")
 
     def fn(tau):
         prod = 1.0
@@ -472,7 +472,7 @@ def sample_dpm_fast(denoise: Callable, x, sigma_min, sigma_max, n: int, key,
     into one XLA program.
     """
     if sigma_min <= 0 or sigma_max <= 0:
-        raise ValueError("sigma_min and sigma_max must not be 0")
+        raise ValueError("sigma_min and sigma_max must both be nonzero")
     t_start = -math.log(sigma_max)
     t_end = -math.log(sigma_min)
     m = math.floor(n / 3) + 1
@@ -698,7 +698,7 @@ def sample_dpm_adaptive(denoise: Callable, x, sigma_min, sigma_max, key, order=3
     loop runs on host; the paired low/high-order step is one jitted program.
     """
     if sigma_min <= 0 or sigma_max <= 0:
-        raise ValueError("sigma_min and sigma_max must not be 0")
+        raise ValueError("sigma_min and sigma_max must both be nonzero")
     if order not in {2, 3}:
         raise ValueError("order should be 2 or 3")
 

@@ -141,7 +141,7 @@ def _default_channel_mult(image_size: int):
         return (1, 1, 2, 3, 4)
     if image_size == 64:
         return (1, 2, 3, 4)
-    raise ValueError(f"unsupported image size: {image_size}")
+    raise ValueError(f"no channel multiplier preset for image size {image_size}")
 
 
 def create_model(image_size, num_channels, num_res_blocks, channel_mult="",
@@ -249,7 +249,7 @@ def sr_create_model(large_size, small_size, num_channels, num_res_blocks,
     elif large_size == 64:
         channel_mult = (1, 2, 3, 4)
     else:
-        raise ValueError(f"unsupported large size: {large_size}")
+        raise ValueError(f"no channel multiplier preset for large size {large_size}")
     attention_ds = tuple(large_size // int(res)
                          for res in attention_resolutions.split(","))
     inner = adm.ADMUNet(

@@ -235,7 +235,7 @@ def download_file(path, url, digest=None):
     if digest is not None:
         file_digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
         if digest != file_digest:
-            raise OSError(f"hash of {path} (url: {url}) failed to validate")
+            raise OSError(f"digest mismatch for {path} (downloaded from {url})")
     return path
 
 
