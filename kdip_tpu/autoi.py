@@ -29,14 +29,16 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.scipy.sparse.linalg import cg as jax_cg
 
 
 def auto_type_I_guidance(uncond_pred: Callable, x0_var_fn: Callable, operator,
                          y: jnp.ndarray, cfg, params, x, sigma, key,
                          ortho_tf, v2: bool = False):
     """hat_x0 = x0_mean + sigma^2 * d log p(y|x) / dx
-    (ref: condition.py:133-138)."""
+    (ref: condition.py:133-138). Returns (hat_x0, cg_rel_resid) where the
+    residual is the worst |r|/|b| over the K^{-1} solves (the r-solve and
+    every Hutchinson probe solve)."""
+    from .guidance import _cg  # late import: avoids a module cycle
     A = operator.forward
     AT = operator.transpose
     sigma_s = jnp.clip(operator.sigma_s, min=0.001)
@@ -61,23 +63,25 @@ def auto_type_I_guidance(uncond_pred: Callable, x0_var_fn: Callable, operator,
         return sigma_s ** 2 * u + A(cov_mv(AT(u)))
 
     r = y - A(x0_mean)
-    alpha, _ = jax_cg(K_mv, lax.stop_gradient(r), tol=cfg.cg_tol,
-                      maxiter=cfg.cg_maxiter)
+    alpha, resid = _cg(K_mv, lax.stop_gradient(r), cfg)
 
     # quad-term contribution to dL/dv: (W^T A^T alpha)^2 / 2
     wta = ortho_tf(AT(alpha))
     quad_term = 0.5 * wta ** 2
 
     # trace term diag(W^T A^T K^{-1} A W) via Hutchinson probes
-    def probe(i, acc):
+    def probe(i, carry):
+        acc, worst = carry
         z = jax.random.rademacher(jax.random.fold_in(key, i), x.shape,
                                   dtype=x.dtype)
         Az = A(ortho_tf.inv(z))
-        s, _ = jax_cg(K_mv, Az, tol=cfg.cg_tol, maxiter=cfg.cg_maxiter)
-        return acc + z * ortho_tf(AT(s))
+        s, pr = _cg(K_mv, Az, cfg)
+        return acc + z * ortho_tf(AT(s)), jnp.maximum(worst, pr)
 
     n_probes = cfg.num_probes
-    diag_est = lax.fori_loop(0, n_probes, probe, jnp.zeros_like(x)) / n_probes
+    diag_est, resid = lax.fori_loop(0, n_probes, probe,
+                                    (jnp.zeros_like(x), resid))
+    diag_est = diag_est / n_probes
     g_v = quad_term - 0.5 * diag_est
 
     # mean-term cotangent: J_mu^T K^{-1} r = (d A(x0_mean) / d x0_mean)^T alpha
@@ -92,4 +96,4 @@ def auto_type_I_guidance(uncond_pred: Callable, x0_var_fn: Callable, operator,
         var_ct = jnp.broadcast_to(g_v, jnp.shape(svar))
 
     likelihood_score = vjp_fn((mean_ct, var_ct))[0]
-    return x0_mean + sigma ** 2 * likelihood_score
+    return x0_mean + sigma ** 2 * likelihood_score, resid

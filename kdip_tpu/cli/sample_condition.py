@@ -92,7 +92,10 @@ def build_argparser():
     p.add_argument("--zeta", type=float, default=None)
     p.add_argument("--num-hutchinson-samples", type=int, default=None)
     p.add_argument("--eta", type=float, default=None)
-    p.add_argument("--cg-maxiter", type=int, default=100)
+    # None resolves to the reference's 1000-iteration budget (see
+    # GuidanceConfig.cg_maxiter — converging solves exit early, so the
+    # larger cap only spends time where a smaller one would truncate)
+    p.add_argument("--cg-maxiter", type=int, default=None)
     # v2 (learned covariance; ref: sample_condition_openai_v2.py)
     p.add_argument("--v2", action="store_true",
                    help="DWT/DCT learned-covariance checkpoint path")
@@ -106,7 +109,9 @@ def build_argparser():
                    choices=["float32", "bfloat16"])
     p.add_argument("--winograd", action="store_true",
                    help="route the UNet's 3x3 convs through Winograd F(2,3) "
-                        "(ops/winograd.py; bf16 torsos only)")
+                        "(ops/experimental/winograd.py; bf16 torsos only; "
+                        "measured-negative on v5e — see "
+                        "ops/experimental/__init__.py)")
     return p
 
 
@@ -247,9 +252,11 @@ def main(argv=None):
     if mesh is not None:
         from ..parallel import sharding as sh
         jitted = sh.make_sharded_sampler(
-            lambda p, m, k: sampler(p, m, k, n=n_per_call), mesh)
+            lambda p, m, k: sampler(p, m, k, n=n_per_call, return_info=True),
+            mesh)
     else:
-        jitted = jax.jit(lambda p, m, k: sampler(p, m, k, n=n_per_call))
+        jitted = jax.jit(
+            lambda p, m, k: sampler(p, m, k, n=n_per_call, return_info=True))
 
     lpips_params = None
     if args.lpips_weights:
@@ -299,9 +306,11 @@ def main(argv=None):
         else min(args.max_images, len(test_set))
 
     t_start = time.time()
+    run_stats = {}
     try:
         _run_images(args, batch, n_images, test_set, operator, jitted, params,
-                    metrics_list, lpips_params, key, done, journal_path)
+                    metrics_list, lpips_params, key, done, journal_path,
+                    run_stats)
     except KeyboardInterrupt:
         # graceful interrupt (ref: sample_condition_openai.py:214-217):
         # report/ save averages over the images completed so far
@@ -309,6 +318,17 @@ def main(argv=None):
     if not metrics_list:
         return {}
     avg = metrics.calculate_average_metric(metrics_list)
+    if "cg_max_residual" in run_stats:
+        # the on-device CG convergence signal (replaces the reference's
+        # scipy warning, which cannot print on host-callback-less TPUs)
+        avg["cg_max_residual"] = run_stats["cg_max_residual"]
+        budget = guidance.resolved_cg_maxiter(gcfg)
+        status = ("converged" if run_stats["cg_max_residual"] <= gcfg.cg_tol
+                  else "TRUNCATED — raise --cg-maxiter")
+        print(f"CG solves: worst relative residual "
+              f"{run_stats['cg_max_residual']:.3e} over the run "
+              f"(tol {gcfg.cg_tol:g}, budget {budget} iters): {status}",
+              flush=True)
     avg["wall_clock_per_image"] = (time.time() - t_start) / max(
         1, len(metrics_list))
     if "lpips" in avg:
@@ -333,7 +353,7 @@ def main(argv=None):
 
 def _run_images(args, batch, n_images, test_set, operator, jitted, params,
                 metrics_list, lpips_params, key, done=None,
-                journal_path=None):
+                journal_path=None, run_stats=None):
     import jax
     import jax.numpy as jnp
 
@@ -355,7 +375,11 @@ def _run_images(args, batch, n_images, test_set, operator, jitted, params,
         k_meas = jax.random.fold_in(key, 2 * start)
         k_samp = jax.random.fold_in(key, 2 * start + 1)
         measurement = operator.measure(x0, k_meas)
-        hat_x0 = jitted(params, measurement, k_samp)
+        hat_x0, info = jitted(params, measurement, k_samp)
+        if run_stats is not None:
+            run_stats["cg_max_residual"] = max(
+                run_stats.get("cg_max_residual", 0.0),
+                float(info["cg_max_residual"]))
 
         for bi, i in enumerate(idxs):
             if batch > 1:

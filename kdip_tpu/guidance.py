@@ -52,9 +52,16 @@ class GuidanceConfig:
     eta: Optional[float] = None
     num_hutchinson_samples: Optional[int] = None
     ortho_tf_type: Optional[str] = None
-    # CG controls (ref uses scipy tol=1e-4, maxiter=1000, condition.py:343)
+    # CG controls (ref uses scipy tol=1e-4, maxiter=1000, condition.py:343).
+    # cg_maxiter=None resolves to the reference's 1000-iteration budget:
+    # because the while_loop exits as soon as the residual passes tol, a
+    # large cap costs nothing on converging systems, while the
+    # tensor-variance regimes (tmpd, and the V2 learned heads below the mle
+    # threshold) measured needing several hundred iterations (RESULTS.md
+    # r3: ~393 on tmpd/gaussian-blur) and would be silently truncated by a
+    # smaller one.
     cg_tol: float = 1e-4
-    cg_maxiter: int = 100
+    cg_maxiter: Optional[int] = None
     # Optionally precondition CG with the closed-form isotropic solve at the
     # mean variance. 36% fewer iterations on near-isotropic covariances
     # (convert below threshold), but actively HARMFUL on wide-dynamic-range
@@ -83,6 +90,11 @@ class GuidanceConfig:
     # activations. Default OFF; the knob exists for workloads whose vjp is
     # consumed once outside control flow.
     remat_vjp: bool = False
+
+
+def resolved_cg_maxiter(cfg: "GuidanceConfig") -> int:
+    """The effective CG iteration budget (see GuidanceConfig.cg_maxiter)."""
+    return 1000 if cfg.cg_maxiter is None else cfg.cg_maxiter
 
 
 def mle_var(sigma):
@@ -276,22 +288,32 @@ def _host_callbacks_supported() -> bool:
 
 
 def _cg(matvec, b, cfg: GuidanceConfig, M=None):
+    """Runs CG and returns (x, rel_resid) where rel_resid = |r|/|b| at exit
+    (0-for-0 when b == 0). The residual comes from the CG loop state, so
+    surfacing it is free (no extra matvec); callers thread it out through
+    the sampler so truncated solves are VISIBLE on hardware without host
+    callbacks (VERDICT r4 #2 — the axon plugin cannot lower
+    jax.debug.print, which used to compile the warning out exactly on the
+    real chip)."""
     x, rs, atol2 = _cg_with_residual(
-        matvec, b, cfg.cg_tol, cfg.cg_maxiter,
+        matvec, b, cfg.cg_tol, resolved_cg_maxiter(cfg),
         M=M if cfg.cg_precondition else None)
+    bs = atol2 / jnp.square(jnp.asarray(cfg.cg_tol, rs.dtype))
+    rel = jnp.sqrt(rs / jnp.maximum(bs, jnp.finfo(rs.dtype).tiny))
     if cfg.cg_warn and _host_callbacks_supported():
         # the reference warns when scipy CG exits without converging
-        # (condition.py:344-345). The residual comes from the CG loop state,
-        # so the check is free — on by default.
+        # (condition.py:344-345); kept where host callbacks exist (CPU).
         lax.cond(
             rs > atol2,
             lambda: jax.debug.print(
                 "CG did not converge in {m} iters: |r|/|b| = {r}",
-                m=cfg.cg_maxiter, r=jnp.sqrt(rs / jnp.maximum(
-                    atol2 / jnp.square(jnp.asarray(cfg.cg_tol, rs.dtype)),
-                    jnp.finfo(rs.dtype).tiny))),
+                m=resolved_cg_maxiter(cfg), r=rel),
             lambda: None)
-    return x
+    return x, rel.astype(jnp.float32)
+
+
+# residual reported by closed-form (exact) solves
+_NO_RESID = jnp.float32(0.0)
 
 
 def inpainting_mat(op: InpaintingOperator, y, x0_mean, theta0_var, ortho_tf,
@@ -301,7 +323,7 @@ def inpainting_mat(op: InpaintingOperator, y, x0_mean, theta0_var, ortho_tf,
     sigma_s = jnp.clip(op.sigma_s, min=0.001)
     b = mask * y - mask * x0_mean
     if iso:
-        return b / (sigma_s ** 2 + theta0_var)
+        return b / (sigma_s ** 2 + theta0_var), _NO_RESID
     ot, iot = ortho_tf, ortho_tf.inv
 
     def matvec(v):
@@ -327,7 +349,7 @@ def deblur_mat(op: BlurOperator, y, x0_mean, theta0_var, ortho_tf,
         num = offt.fft2(y - offt.ifft2(FB[..., None] * offt.fft2(x0_mean)).real)
         mat = offt.ifft2(num / (sigma_s ** 2 + theta0_var * F2B[..., None])
                          * FBC[..., None]).real
-        return mat
+        return mat, _NO_RESID
     ot, iot = ortho_tf, ortho_tf.inv
     b = y - offt.ifft2(FB[..., None] * offt.fft2(x0_mean)).real
 
@@ -344,8 +366,8 @@ def deblur_mat(op: BlurOperator, y, x0_mean, theta0_var, ortho_tf,
         return offt.ifft2(offt.fft2(u)
                           / (sigma_s ** 2 + theta_bar * F2B[..., None])).real
 
-    u = _cg(matvec, b, cfg, M=precond)
-    return offt.ifft2(FBC[..., None] * offt.fft2(u)).real
+    u, resid = _cg(matvec, b, cfg, M=precond)
+    return offt.ifft2(FBC[..., None] * offt.fft2(u)).real, resid
 
 
 def super_resolution_mat(op: SuperResolutionOperator, y, x0_mean, theta0_var,
@@ -374,7 +396,7 @@ def super_resolution_mat(op: SuperResolutionOperator, y, x0_mean, theta0_var,
         num = offt.fft2(y - A_fft(x0_mean).real)
         denom = sigma_s ** 2 + theta0_var * invW[..., None]
         mat = offt.ifft2(FBC[..., None] * jnp.tile(num / denom, (1, sf, sf, 1))).real
-        return mat
+        return mat, _NO_RESID
     ot, iot = ortho_tf, ortho_tf.inv
     b = (y - A_fft(x0_mean).real)
 
@@ -395,8 +417,8 @@ def super_resolution_mat(op: SuperResolutionOperator, y, x0_mean, theta0_var,
         return offt.ifft2(offt.fft2(u)
                           / (sigma_s ** 2 + theta_bar * invW[..., None])).real
 
-    u = _cg(matvec, b, cfg, M=precond)
-    return AT_fft(u).real
+    u, resid = _cg(matvec, b, cfg, M=precond)
+    return AT_fft(u).real, resid
 
 
 def colorization_mat(op, y, x0_mean, theta0_var, ortho_tf, iso: bool,
@@ -409,7 +431,8 @@ def colorization_mat(op, y, x0_mean, theta0_var, ortho_tf, iso: bool,
     b = y - op.forward(x0_mean)
     if iso:
         u = b / (sigma_s ** 2 + theta0_var / 3.0)
-        return op.transpose(u)  # A^T u = repeat(u)/3, x-space like the others
+        # A^T u = repeat(u)/3, x-space like the others
+        return op.transpose(u), _NO_RESID
     ot, iot = ortho_tf, ortho_tf.inv
 
     def matvec(u):
@@ -422,12 +445,15 @@ def colorization_mat(op, y, x0_mean, theta0_var, ortho_tf, iso: bool,
     def precond(u):
         return u / (sigma_s ** 2 + theta_bar / 3.0)
 
-    u = _cg(matvec, b, cfg, M=precond)
-    return jnp.repeat(u, 3, axis=-1) / 3.0
+    u, resid = _cg(matvec, b, cfg, M=precond)
+    return jnp.repeat(u, 3, axis=-1) / 3.0, resid
 
 
 def mat_solver(op, y, x0_mean, theta0_var, ortho_tf, iso: bool, cfg: GuidanceConfig):
-    """Registry dispatch (static on operator type, ref: condition.py:307-314)."""
+    """Registry dispatch (static on operator type, ref: condition.py:307-314).
+
+    Every solver returns (mat, rel_resid): the solve result plus the CG
+    relative residual |r|/|b| at exit (0.0 on the closed-form paths)."""
     name = op.name
     if name == "inpainting":
         return inpainting_mat(op, y, x0_mean, theta0_var, ortho_tf, iso, cfg)
@@ -446,13 +472,20 @@ def mat_solver(op, y, x0_mean, theta0_var, ortho_tf, iso: bool, cfg: GuidanceCon
 
 def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator,
                             measurement: Measurement, cfg: GuidanceConfig,
-                            params=None, v2: bool = False):
+                            params=None, v2: bool = False,
+                            with_info: bool = False):
     """Builds `denoise(x, sigma, key) -> hat_x0` implementing all guidance
     modes (ref: ConditionDenoiser.forward, condition.py:83-131).
 
     `uncond_pred(params, x, sigma) -> (x0_mean, aux)`;
     `x0_var_fn(aux, sigma, x0_mean_vjp, x_shape)` -> x0_var (v1) or
     (x0_var, theta0_var) (v2).
+
+    with_info=True makes denoise return `(hat_x0, info)` where info is a
+    dict carrying `cg_resid` — the worst CG relative residual |r|/|b| of
+    the likelihood solves inside this call (0.0 for closed-form/solver-free
+    modes). Sampler loops max-accumulate it so silent CG truncation is
+    observable on hardware without host callbacks (VERDICT r4 #2).
     """
     ortho_tf = OrthoTransform(cfg.ortho_tf_type)
     y = measurement.y
@@ -495,7 +528,8 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
     def _solve(x0_mean, svar, sigma):
         """Dispatches closed-form vs CG like the reference's numel()==1
         check; for 'switch' covariances the branch is a runtime lax.cond on
-        the mle threshold (only one branch executes per step)."""
+        the mle threshold (only one branch executes per step). Returns
+        (mat, rel_resid)."""
         if kind == "iso":
             # svar may be a broadcast tensor of a per-image scalar; reduce
             sv = svar if jnp.ndim(svar) == 0 else jnp.mean(svar)
@@ -522,9 +556,9 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
         x0_mean, aux, mean_vjp = _moments_and_vjp(x, sigma)
         x0_var, theta0_var = _variances(aux, sigma, mean_vjp, x.shape)
         svar = _solver_var(x0_var, theta0_var)
-        mat = _solve(x0_mean, svar, sigma)
+        mat, resid = _solve(x0_mean, svar, sigma)
         score = mean_vjp(lax.stop_gradient(mat))[0]
-        return x0_mean + sigma ** 2 * score
+        return x0_mean + sigma ** 2 * score, resid
 
     def type_II(x, sigma, key):
         """ref: condition.py:176-183"""
@@ -532,8 +566,8 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
         x0_mean, aux, mean_vjp = _moments_and_vjp(x, sigma)
         x0_var, theta0_var = _variances(aux, sigma, mean_vjp, x.shape)
         svar = _solver_var(x0_var, theta0_var)
-        mat = _solve(x0_mean, svar, sigma)
-        return x0_mean + ortho_tf.inv(ortho_tf(mat) * svar)
+        mat, resid = _solve(x0_mean, svar, sigma)
+        return x0_mean + ortho_tf.inv(ortho_tf(mat) * svar), resid
 
     def dps(x, sigma, key):
         """ref: condition.py:140-148"""
@@ -545,23 +579,25 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
         # d(-norm)/d x0_mean = A^T(difference) / norm
         ct = op_vjp(difference / norm)[0]
         score = mean_vjp(ct)[0] * cfg.zeta
-        return x0_mean + sigma ** 2 * score
+        return x0_mean + sigma ** 2 * score, _NO_RESID
 
     def pgdm(x, sigma, key):
         """ref: condition.py:150-157"""
         x0_mean, aux, mean_vjp = _moments_and_vjp(x, sigma)
         x0_var = mle_var(sigma)
-        mat = mat_solver(operator, y, x0_mean, x0_var, ortho_tf, True, cfg)
+        mat, resid = mat_solver(operator, y, x0_mean, x0_var, ortho_tf, True,
+                                cfg)
         score = mean_vjp(lax.stop_gradient(mat))[0] * x0_var
-        return x0_mean + sigma ** 2 * score
+        return x0_mean + sigma ** 2 * score, resid
 
     def diffpir(x, sigma, key):
         """ref: condition.py:159-165"""
         assert cfg.lambda_ is not None, "lambda_ must be specified for DiffPIR"
         x0_mean, aux = uncond_pred(params, x, sigma)
         x0_var = sigma ** 2 / cfg.lambda_
-        mat = mat_solver(operator, y, x0_mean, x0_var, ortho_tf, True, cfg)
-        return x0_mean + mat * x0_var
+        mat, resid = mat_solver(operator, y, x0_mean, x0_var, ortho_tf, True,
+                                cfg)
+        return x0_mean + mat * x0_var, resid
 
     def stsl(x, sigma, key):
         """ref: condition.py:185-208"""
@@ -584,7 +620,7 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
             return loss, x0_mean
 
         grads, x0_mean = jax.grad(loss_fn, has_aux=True)(x)
-        return x0_mean + sigma ** 2 * grads
+        return x0_mean + sigma ** 2 * grads, _NO_RESID
 
     def auto_type_I(x, sigma, key):
         """ref: condition.py:133-138 — gradient of the exact Gaussian
@@ -594,27 +630,33 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
                                     params, x, sigma, key, ortho_tf, v2=v2)
 
     def uncond(x, sigma, key):
-        return uncond_pred(params, x, sigma)[0]
+        return uncond_pred(params, x, sigma)[0], _NO_RESID
 
     impls = {"uncond": uncond, "I": type_I, "II": type_II, "dps": dps,
              "pgdm": pgdm, "diffpir": diffpir, "stsl": stsl, "autoI": auto_type_I}
+
+    def _finish(out, resid):
+        out = jnp.clip(out, -1, 1)
+        if with_info:
+            return out, {"cg_resid": resid}
+        return out
 
     if guidance in impls:
         fn = impls[guidance]
 
         def denoise(x, sigma, key=None):
-            return jnp.clip(fn(x, sigma, key), -1, 1)
+            return _finish(*fn(x, sigma, key))
         return denoise
 
     if guidance in ("dps+mle", "pgdm+mle", "stsl+mle"):
         base = impls[guidance.split("+")[0]]
 
         def denoise(x, sigma, key=None):
-            out = lax.cond(sigma < cfg.mle_sigma_thres,
-                           lambda operand: type_I(*operand),
-                           lambda operand: base(*operand),
-                           (x, sigma, key))
-            return jnp.clip(out, -1, 1)
+            out, resid = lax.cond(sigma < cfg.mle_sigma_thres,
+                                  lambda operand: type_I(*operand),
+                                  lambda operand: base(*operand),
+                                  (x, sigma, key))
+            return _finish(out, resid)
         return denoise
 
     raise ValueError(f"Invalid guidance type: '{guidance}'.")

@@ -59,7 +59,9 @@ class ADMUNet(nn.Module):
     # concat op ordering.
     split_skip: bool = True
     # Route the ResBlocks' 3x3 stride-1 convs through Winograd F(2,3)
-    # (ops/winograd.py): 2.25x fewer MXU FLOPs per conv, same param tree.
+    # (ops/experimental/winograd.py): 2.25x fewer MXU FLOPs per conv, same
+    # param tree. Measured-negative end-to-end on v5e (3.3x slower, HBM-bound
+    # workload) — see ops/experimental/__init__.py for the revival condition.
     # Off by default pending end-to-end PSNR + throughput validation on
     # the chip; low-precision torsos only (f32 parity keeps lax convs).
     winograd: bool = False

@@ -54,7 +54,7 @@ class _FusedGroupNorm(nn.Module):
         """return_affine=True: skip the apply pass and return the per-sample
         per-channel affine `(a, b)` (each [B, C] f32, concat order for
         tuples) such that gn(x) == x*a + b — consumed by the Winograd
-        kernel's fused prologue (ops/winograd_pallas.py), which then never
+        kernel's fused prologue (ops/experimental/winograd_pallas.py), which then never
         writes the normalized activation to HBM."""
         parts = x if isinstance(x, tuple) else (x,)
         C = sum(p.shape[-1] for p in parts)
@@ -141,7 +141,8 @@ class SplitSkipConv(nn.Module):
     rejects the mixed f32-cotangent/bf16-kernel vjp it creates.
 
     `winograd=True` routes an eligible call (3x3 kernel, stride 1, even
-    H/W) through the Winograd F(2,3) formulation (ops/winograd.py) —
+    H/W) through the Winograd F(2,3) formulation
+    (ops/experimental/winograd.py; measured-negative, off by default) —
     2.25x fewer MXU FLOPs, bf16-safe transform coefficients, identical
     param layout. Ineligible calls silently take the direct path."""
     features: int
@@ -153,7 +154,7 @@ class SplitSkipConv(nn.Module):
     @nn.compact
     def __call__(self, x, prologue=None):
         """prologue=(a, b) ([B, Cin] f32 each): fuse silu(x*a + b) into the
-        conv's input load (Winograd path; ops/winograd_pallas.py). The
+        conv's input load (Winograd path; ops/experimental/winograd_pallas.py). The
         ineligible fallback applies the same composition unfused."""
         parts = x if isinstance(x, tuple) else (x,)
         cin = sum(p.shape[-1] for p in parts)
@@ -170,7 +171,7 @@ class SplitSkipConv(nn.Module):
         if (self.winograd and k == 3
                 and parts[0].shape[1] % 2 == 0
                 and parts[0].shape[2] % 2 == 0):
-            from kdip_tpu.ops import winograd as _wino
+            from kdip_tpu.ops.experimental import winograd as _wino
             # transform from the f32 masters (one rounding, into V) — XLA
             # hoists the constant-weight transform out of the sampling scan
             y = _wino.winograd_conv3x3(
@@ -180,7 +181,7 @@ class SplitSkipConv(nn.Module):
             return y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
 
         if prologue is not None:
-            from kdip_tpu.ops.winograd_pallas import _affine_silu
+            from kdip_tpu.ops.experimental.winograd_pallas import _affine_silu
             parts = _affine_silu(
                 tuple(p.astype(self.dtype) for p in parts), *prologue)
             x = parts if isinstance(x, tuple) else parts[0]

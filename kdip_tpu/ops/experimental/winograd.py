@@ -142,11 +142,11 @@ def winograd_conv3x3(x, kernel, bias=None, dtype=None, impl=None,
     import os
     impl = impl or os.environ.get("KDIP_WINOGRAD_IMPL", "pallas")
     if impl == "pallas":
-        from kdip_tpu.ops.winograd_pallas import winograd_conv3x3_pallas
+        from kdip_tpu.ops.experimental.winograd_pallas import winograd_conv3x3_pallas
         return winograd_conv3x3_pallas(x, kernel, bias=bias, dtype=dtype,
                                        prologue=prologue)
     if prologue is not None:
-        from kdip_tpu.ops.winograd_pallas import _affine_silu
+        from kdip_tpu.ops.experimental.winograd_pallas import _affine_silu
         parts = x if isinstance(x, tuple) else (x,)
         if dtype is not None:
             parts = tuple(p.astype(dtype) for p in parts)

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from kdip_tpu.ops.winograd import kernel_transform
+from kdip_tpu.ops.experimental.winograd import kernel_transform
 
 # A^T = [[1, 1, 1, 0], [0, 1, -1, -1]] as (k, i) -> coeff
 _AT_COEFF = ((1, 1, 1, 0), (0, 1, -1, -1))

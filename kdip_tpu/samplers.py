@@ -45,60 +45,94 @@ def _split3(key):
     return jax.random.split(key, 3)
 
 
+def _info_call(denoise: Callable, return_info: bool):
+    """Normalizes a denoiser to `(denoised, cg_resid)` calls. With
+    return_info, the denoiser must be info-returning (built with
+    guidance.make_condition_denoiser(..., with_info=True)); otherwise the
+    residual slot is a constant 0 that folds away in compilation."""
+    if return_info:
+        def call(x, sigma, key):
+            denoised, info = denoise(x, sigma, key)
+            return denoised, info["cg_resid"]
+    else:
+        def call(x, sigma, key):
+            return denoise(x, sigma, key), jnp.float32(0.0)
+    return call
+
+
 def sample_euler(denoise: Callable, x, sigmas, key, s_churn=0.0, s_tmin=0.0,
-                 s_tmax=float("inf"), s_noise=1.0):
+                 s_tmax=float("inf"), s_noise=1.0, return_info=False):
     """Algorithm 2 (Euler steps) of Karras et al.
-    (ref: k_diffusion/sampling.py:118-135)."""
+    (ref: k_diffusion/sampling.py:118-135).
+
+    return_info=True expects an info-returning denoiser (see
+    guidance.make_condition_denoiser with_info) and returns (x, info) with
+    info["cg_max_residual"] = the worst CG relative residual over the whole
+    trajectory."""
     gammas = _churn_gammas(sigmas, s_churn, s_tmin, s_tmax)
+    call = _info_call(denoise, return_info)
 
     def step(carry, inp):
-        x, key = carry
+        x, key, worst = carry
         sigma, sigma_next, gamma = inp
         key, k_churn, k_model = _split3(key)
         eps = jax.random.normal(k_churn, x.shape, x.dtype) * s_noise
         sigma_hat = sigma * (gamma + 1)
         bump = jnp.sqrt(jnp.maximum(sigma_hat ** 2 - sigma ** 2, 0.0))
         x = jnp.where(gamma > 0, x + eps * bump, x)
-        denoised = denoise(x, sigma_hat, k_model)
+        denoised, resid = call(x, sigma_hat, k_model)
         d = to_d(x, sigma_hat, denoised)
         x = x + d * (sigma_next - sigma_hat)
-        return (x, key), None
+        return (x, key, jnp.maximum(worst, resid)), None
 
-    (x, _), _ = lax.scan(step, (x, key), (sigmas[:-1], sigmas[1:], gammas))
+    (x, _, worst), _ = lax.scan(step, (x, key, jnp.float32(0.0)),
+                                (sigmas[:-1], sigmas[1:], gammas))
+    if return_info:
+        return x, {"cg_max_residual": worst}
     return x
 
 
 def sample_heun(denoise: Callable, x, sigmas, key, s_churn=0.0, s_tmin=0.0,
-                s_tmax=float("inf"), s_noise=1.0):
+                s_tmax=float("inf"), s_noise=1.0, return_info=False):
     """Algorithm 2 (Heun steps) of Karras et al. — the reference's default
-    guided sampler (ref: k_diffusion/sampling.py:159-184)."""
+    guided sampler (ref: k_diffusion/sampling.py:159-184).
+
+    return_info=True expects an info-returning denoiser (see
+    guidance.make_condition_denoiser with_info) and returns (x, info) with
+    info["cg_max_residual"] = the worst CG relative residual over the whole
+    trajectory."""
     gammas = _churn_gammas(sigmas, s_churn, s_tmin, s_tmax)
+    call = _info_call(denoise, return_info)
 
     def step(carry, inp):
-        x, key = carry
+        x, key, worst = carry
         sigma, sigma_next, gamma = inp
         key, k_churn, k_model, k_model2 = jax.random.split(key, 4)
         eps = jax.random.normal(k_churn, x.shape, x.dtype) * s_noise
         sigma_hat = sigma * (gamma + 1)
         bump = jnp.sqrt(jnp.maximum(sigma_hat ** 2 - sigma ** 2, 0.0))
         x = jnp.where(gamma > 0, x + eps * bump, x)
-        denoised = denoise(x, sigma_hat, k_model)
+        denoised, resid = call(x, sigma_hat, k_model)
         d = to_d(x, sigma_hat, denoised)
         dt = sigma_next - sigma_hat
 
         def euler_branch(x):
-            return x + d * dt
+            return x + d * dt, jnp.float32(0.0)
 
         def heun_branch(x):
             x_2 = x + d * dt
-            denoised_2 = denoise(x_2, sigma_next, k_model2)
+            denoised_2, resid_2 = call(x_2, sigma_next, k_model2)
             d_2 = to_d(x_2, sigma_next, denoised_2)
-            return x + (d + d_2) / 2 * dt
+            return x + (d + d_2) / 2 * dt, resid_2
 
-        x = lax.cond(sigma_next == 0, euler_branch, heun_branch, x)
-        return (x, key), None
+        x, resid_2 = lax.cond(sigma_next == 0, euler_branch, heun_branch, x)
+        worst = jnp.maximum(worst, jnp.maximum(resid, resid_2))
+        return (x, key, worst), None
 
-    (x, _), _ = lax.scan(step, (x, key), (sigmas[:-1], sigmas[1:], gammas))
+    (x, _, worst), _ = lax.scan(step, (x, key, jnp.float32(0.0)),
+                                (sigmas[:-1], sigmas[1:], gammas))
+    if return_info:
+        return x, {"cg_max_residual": worst}
     return x
 
 
@@ -327,19 +361,25 @@ def sample_dpmpp_sde(denoise: Callable, x, sigmas, key, eta=1.0, s_noise=1.0,
     return x
 
 
-def sample_dpmpp_2m(denoise: Callable, x, sigmas, key):
-    """DPM-Solver++(2M) (ref: k_diffusion/sampling.py:583-605)."""
+def sample_dpmpp_2m(denoise: Callable, x, sigmas, key, return_info=False):
+    """DPM-Solver++(2M) (ref: k_diffusion/sampling.py:583-605).
+
+    return_info=True expects an info-returning denoiser (see
+    guidance.make_condition_denoiser with_info) and returns (x, info) with
+    info["cg_max_residual"] = the worst CG relative residual over the whole
+    trajectory."""
     t_fn = lambda sigma: -jnp.log(sigma)
     n = sigmas.shape[0] - 1
     # sigma at i-1 for the multistep ratio; step 0 has no history (flag below).
     sigma_prevs = jnp.concatenate([sigmas[:1], sigmas[:-1]])
     steps = jnp.arange(n)
+    call = _info_call(denoise, return_info)
 
     def step(carry, inp):
-        x, old_denoised, key = carry
+        x, old_denoised, key, worst = carry
         i, sigma_prev, sigma, sigma_next = inp
         key, k_model = jax.random.split(key)
-        denoised = denoise(x, sigma, k_model)
+        denoised, resid = call(x, sigma, k_model)
         t, t_next = t_fn(sigma), t_fn(sigma_next)
         h = t_next - t
 
@@ -357,10 +397,13 @@ def sample_dpmpp_2m(denoise: Callable, x, sigmas, key):
             return (sigma_next / sigma) * x - jnp.expm1(-h) * denoised_d
 
         x = lax.cond(first_or_last, simple, multistep, (x, denoised, old_denoised))
-        return (x, denoised, key), None
+        return (x, denoised, key, jnp.maximum(worst, resid)), None
 
-    (x, _, _), _ = lax.scan(step, (x, jnp.zeros_like(x), key),
-                            (steps, sigma_prevs[:n], sigmas[:-1], sigmas[1:]))
+    (x, _, _, worst), _ = lax.scan(
+        step, (x, jnp.zeros_like(x), key, jnp.float32(0.0)),
+        (steps, sigma_prevs[:n], sigmas[:-1], sigmas[1:]))
+    if return_info:
+        return x, {"cg_max_residual": worst}
     return x
 
 

@@ -73,17 +73,31 @@ def build_posterior_sampler(model_apply: Callable, tables: diff.DiffusionTables,
                   "dpmpp_2m": samplers.sample_dpmpp_2m}
     sampler_fn = sample_fns[sampler_cfg.sampler]
 
-    def sample(params, measurement: Measurement, key, n: int = 1):
+    def sample(params, measurement: Measurement, key, n: int = 1,
+               return_info: bool = False):
+        """return_info=True additionally returns an info dict with
+        `cg_max_residual`, the worst CG relative residual |r|/|b| over
+        every likelihood solve in the trajectory — the on-device
+        convergence signal replacing the reference's scipy warning
+        (condition.py:344-345), which host-callback-less TPU plugins
+        cannot print."""
         denoise = gd.make_condition_denoiser(uncond, var_fn, operator,
                                              measurement, guidance_cfg,
-                                             params=params, v2=v2)
+                                             params=params, v2=v2,
+                                             with_info=return_info)
         if (sampler_cfg.per_sample_map and n > 1
                 and measurement.y.shape[0] == 1):
             inner = denoise
 
-            def denoise(x, sigma, key=None):  # noqa: F811
-                return jax.lax.map(lambda xi: inner(xi[None], sigma, key)[0],
-                                   x)
+            if return_info:
+                def denoise(x, sigma, key=None):  # noqa: F811
+                    out, info = jax.lax.map(
+                        lambda xi: inner(xi[None], sigma, key), x)
+                    return out[:, 0], {"cg_resid": jnp.max(info["cg_resid"])}
+            else:
+                def denoise(x, sigma, key=None):  # noqa: F811
+                    return jax.lax.map(
+                        lambda xi: inner(xi[None], sigma, key)[0], x)
         k_init, k_samp = jax.random.split(key)
         x = jax.random.normal(k_init, (n, image_size, image_size, channels)
                               ) * sampler_cfg.sigma_max
@@ -91,7 +105,8 @@ def build_posterior_sampler(model_apply: Callable, tables: diff.DiffusionTables,
         if sampler_cfg.sampler in ("heun", "euler") and not sampler_cfg.ode:
             kwargs = dict(s_churn=sampler_cfg.s_churn, s_tmin=sampler_cfg.s_tmin,
                           s_tmax=sampler_cfg.s_tmax, s_noise=sampler_cfg.s_noise)
-        return sampler_fn(denoise, x, sigmas, k_samp, **kwargs)
+        return sampler_fn(denoise, x, sigmas, k_samp, return_info=return_info,
+                          **kwargs)
 
     return sample
 

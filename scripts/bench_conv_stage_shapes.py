@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from kdip_tpu.ops import conv_mxu
 from kdip_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
-from kdip_tpu.ops.winograd import winograd_conv3x3_jnp
+from kdip_tpu.ops.experimental.winograd import winograd_conv3x3_jnp
 
 # (H, C_in, C_out): the FFHQ-256 torso's distinct 3x3 stride-1 stages
 # (model_channels=128, channel_mult=(1,1,2,2,4,4); decoder convs see the
@@ -44,7 +44,7 @@ VARIANTS = {
 
 
 def wino_pallas(x, k):
-    from kdip_tpu.ops.winograd_pallas import winograd_conv3x3_pallas
+    from kdip_tpu.ops.experimental.winograd_pallas import winograd_conv3x3_pallas
     return winograd_conv3x3_pallas(x, k)
 
 

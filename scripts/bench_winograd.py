@@ -44,8 +44,8 @@ def in_scan_time(fn, args, iters=16):
 
 
 def level1(iters, only_shape=None):
-    from kdip_tpu.ops import winograd as wg
-    from kdip_tpu.ops import winograd_pallas as wp
+    from kdip_tpu.ops.experimental import winograd as wg
+    from kdip_tpu.ops.experimental import winograd_pallas as wp
 
     def direct(x, w):
         dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,

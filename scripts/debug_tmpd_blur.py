@@ -110,7 +110,7 @@ def main():
                                         cg_maxiter=maxiter,
                                         cg_precondition=precondition)
             mat = jax.jit(lambda: guidance.mat_solver(
-                op, y, x0_mean, theta0_var, ortho, False, c))()
+                op, y, x0_mean, theta0_var, ortho, False, c)[0])()
             mat_np = np.asarray(mat)
             # recover residual: mat = A^T u has no unique u; instead measure
             # consistency of the normal-equation solution via the relation

@@ -395,8 +395,8 @@ def main():
                 gcfg = guidance.GuidanceConfig(guidance="I",
                                                x0_cov_type="convert",
                                                cg_maxiter=maxiter)
-                mat = guidance.mat_solver(our_op, our_meas.y, x0_mean,
-                                          theta0_var, ortho, False, gcfg)
+                mat, _ = guidance.mat_solver(our_op, our_meas.y, x0_mean,
+                                             theta0_var, ortho, False, gcfg)
                 sols[maxiter] = np.asarray(mat)
             delta = np.abs(sols[100] - sols[1000])
             denom = float(np.abs(sols[1000]).max()) or 1.0

@@ -59,8 +59,8 @@ def test_deblur_mat_wide_variance_matches_dense():
     cfg = guidance.GuidanceConfig(guidance="I", x0_cov_type="tmpd",
                                   cg_maxiter=1000)
     assert not cfg.cg_precondition  # correctness-first default
-    mat = guidance.mat_solver(op, y, x0_mean, tv, OrthoTransform(None),
-                              False, cfg)
+    mat, _ = guidance.mat_solver(op, y, x0_mean, tv, OrthoTransform(None),
+                                 False, cfg)
     scale = np.abs(ref).max()
     np.testing.assert_allclose(np.asarray(mat) / scale, ref / scale,
                                atol=2e-3)
@@ -82,11 +82,13 @@ def test_cg_warn_fires_on_truncated_solve(capfd):
     # cg_warn left at its default: the warning must fire out of the box
     cfg = guidance.GuidanceConfig(cg_maxiter=2, cg_tol=1e-6)
     assert cfg.cg_warn  # correctness-first default, like the reference
-    jax.block_until_ready(guidance._cg(lambda v: diag * v, b, cfg))
+    _, resid = jax.block_until_ready(guidance._cg(lambda v: diag * v, b, cfg))
     out = capfd.readouterr()
     assert "CG did not converge" in out.out + out.err
+    assert float(resid) > 1e-6  # and the returned residual reports it too
 
     cfg = guidance.GuidanceConfig(cg_maxiter=500, cg_tol=1e-6)
-    jax.block_until_ready(guidance._cg(lambda v: diag * v, b, cfg))
+    _, resid = jax.block_until_ready(guidance._cg(lambda v: diag * v, b, cfg))
     out = capfd.readouterr()
     assert "CG did not converge" not in out.out + out.err
+    assert float(resid) <= 1e-6

@@ -92,12 +92,14 @@ def test_colorization_type_I_guidance():
     cfg = GuidanceConfig(cg_maxiter=200, cg_tol=1e-6)
     ot = OrthoTransform(None)
     theta = jnp.float32(0.02)
-    closed = colorization_mat(op, meas.y, x0_mean, theta, ot, True, cfg)
+    closed, _ = colorization_mat(op, meas.y, x0_mean, theta, ot, True, cfg)
     # CG with a constant tensor variance must match the closed form
     theta_t = jnp.full((1, 16, 16, 3), 0.02)
-    via_cg = colorization_mat(op, meas.y, x0_mean, theta_t, ot, False, cfg)
+    via_cg, resid = colorization_mat(op, meas.y, x0_mean, theta_t, ot,
+                                     False, cfg)
     np.testing.assert_allclose(np.asarray(via_cg), np.asarray(closed),
                                rtol=1e-3, atol=1e-5)
+    assert float(resid) <= cfg.cg_tol  # the solve converged and says so
 
 
 def test_compute_features_streaming():

@@ -4,6 +4,10 @@ The reference has no counterpart (all convs are torch.nn.Conv2d /cuDNN);
 the oracle here is jax's own conv_general_dilated, which the rest of the
 suite has already validated against the torch reference at 256px
 (tests/test_parity_256_smoke.py).
+
+The whole path lives in ops/experimental/ (measured-negative end-to-end on
+v5e; no default config enables it), so the suite is marked slow — deselect
+with `-m "not slow"` for the fast loop.
 """
 
 import jax
@@ -11,8 +15,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from kdip_tpu.models import layers
-from kdip_tpu.ops import winograd
+from kdip_tpu.ops.experimental import winograd
 
 
 def _direct(x, w):
@@ -148,7 +154,7 @@ def test_adm_winograd_model_close_to_direct(dtype):
 # ---- Pallas-fused variant (interpret mode on CPU; native on TPU) ----
 
 def test_winograd_pallas_matches_jnp_f32():
-    from kdip_tpu.ops import winograd_pallas as wp
+    from kdip_tpu.ops.experimental import winograd_pallas as wp
     key = jax.random.key(20)
     x = jax.random.normal(key, (1, 16, 12, 24), jnp.float32)
     w = jax.random.normal(jax.random.key(21), (3, 3, 24, 16),
@@ -162,7 +168,7 @@ def test_winograd_pallas_matches_jnp_f32():
 def test_winograd_pallas_split_and_chunked():
     """C > 128 and F > 128 exercise the chunking path; split input
     exercises the transform-space sum."""
-    from kdip_tpu.ops import winograd_pallas as wp
+    from kdip_tpu.ops.experimental import winograd_pallas as wp
     key = jax.random.key(22)
     a = jax.random.normal(key, (1, 8, 8, 130), jnp.float32)
     b = jax.random.normal(jax.random.key(23), (1, 8, 8, 30), jnp.float32)
@@ -175,7 +181,7 @@ def test_winograd_pallas_split_and_chunked():
 
 
 def test_winograd_pallas_vjp():
-    from kdip_tpu.ops import winograd_pallas as wp
+    from kdip_tpu.ops.experimental import winograd_pallas as wp
     key = jax.random.key(25)
     x = jax.random.normal(key, (1, 8, 8, 16), jnp.float32)
     w = jax.random.normal(jax.random.key(26), (3, 3, 16, 16),
@@ -224,7 +230,7 @@ def _ref_fused(x, w, a, b):
 
 
 def test_winograd_pallas_fused_prologue_fwd():
-    from kdip_tpu.ops import winograd_pallas as wp
+    from kdip_tpu.ops.experimental import winograd_pallas as wp
     key = jax.random.key(40)
     x = jax.random.normal(key, (2, 12, 8, 16), jnp.float32)
     w = jax.random.normal(jax.random.key(41), (3, 3, 16, 24),
@@ -238,7 +244,7 @@ def test_winograd_pallas_fused_prologue_fwd():
 
 
 def test_winograd_pallas_fused_prologue_vjp():
-    from kdip_tpu.ops import winograd_pallas as wp
+    from kdip_tpu.ops.experimental import winograd_pallas as wp
     key = jax.random.key(44)
     x = jax.random.normal(key, (1, 8, 8, 16), jnp.float32)
     w = jax.random.normal(jax.random.key(45), (3, 3, 16, 16),
@@ -261,7 +267,7 @@ def test_winograd_pallas_fused_prologue_vjp():
 
 
 def test_winograd_pallas_fused_split_parts():
-    from kdip_tpu.ops import winograd_pallas as wp
+    from kdip_tpu.ops.experimental import winograd_pallas as wp
     key = jax.random.key(48)
     h = jax.random.normal(key, (1, 8, 8, 20), jnp.float32)
     s = jax.random.normal(jax.random.key(49), (1, 8, 8, 12), jnp.float32)
