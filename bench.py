@@ -49,9 +49,29 @@ def load_measured_baseline():
 BATCH = 4
 STEPS = 50
 
+# The measured grid (VERDICT r4 #5): the reference's four experiment
+# operators (quick_start/eval_guidance_I.sh:17-42) under the flagship
+# Type-I/convert config, plus the CG-heaviest covariance (tmpd — a tensor
+# variance solved by CG at EVERY sigma) on gaussian deblur. Each row is
+# (operator yaml in configs/, posterior covariance type).
+WORKLOADS = {
+    "inpainting_convert": ("inpainting_config.yaml", "convert"),
+    "gaussian_deblur_convert": ("gaussian_deblur_config.yaml", "convert"),
+    "motion_deblur_convert": ("motion_deblur_config.yaml", "convert"),
+    "sr4x_convert": ("super_resolution_4x_config.yaml", "convert"),
+    "gaussian_deblur_tmpd": ("gaussian_deblur_config.yaml", "tmpd"),
+}
+DEFAULT_WORKLOAD = "inpainting_convert"
 
-METRIC = ("samples/sec/chip (FFHQ-256 guided 50-step Heun, "
-          "Type-I convert, inpainting)")
+
+def _metric_name(workload: str) -> str:
+    op, cov = WORKLOADS[workload][0].replace("_config.yaml", ""), \
+        WORKLOADS[workload][1]
+    return (f"samples/sec/chip (FFHQ-256 guided 50-step Heun, "
+            f"Type-I {cov}, {op})")
+
+
+METRIC = _metric_name(DEFAULT_WORKLOAD)
 
 
 def _probe_transport(timeout_s: float) -> bool:
@@ -142,6 +162,11 @@ def main():
 
     enable_compilation_cache()
 
+    import yaml
+
+    workload = os.environ.get("KDIP_BENCH_WORKLOAD", DEFAULT_WORKLOAD)
+    op_yaml, cov = WORKLOADS[workload]
+
     # KDIP_BENCH_WINOGRAD=1 routes the UNet's 3x3 convs through the
     # Pallas-fused Winograd F(2,3) path (ops/experimental/winograd_pallas.py)
     # for A/B (measured-negative; kept for the record).
@@ -154,15 +179,15 @@ def main():
     def model_apply(p, x, t):
         return model.apply({"params": p}, x, t.astype(jnp.float32))
 
-    op = K.operators.get_operator(
-        "inpainting", sigma_s=0.05,
-        mask_opt=dict(mask_type="random", mask_prob_range=(0.5, 0.5),
-                      image_size=256), seed=0)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "configs", op_yaml)) as f:
+        op_cfg = yaml.safe_load(f)
+    op = K.operators.get_operator(seed=0, **op_cfg)
 
     # cg_maxiter=None resolves to the reference's 1000-iter budget;
     # converging solves exit the while_loop early so this only spends
     # iterations where a smaller cap would silently truncate
-    gcfg = K.guidance.GuidanceConfig(guidance="I", x0_cov_type="convert")
+    gcfg = K.guidance.GuidanceConfig(guidance="I", x0_cov_type=cov)
     scfg = K.sampling_api.SamplerConfig(steps=STEPS)
     sampler = K.sampling_api.build_posterior_sampler(model_apply, tables, op,
                                                      gcfg, scfg)
@@ -216,9 +241,13 @@ def main():
     except Exception:
         pass
 
-    ref_sps, baseline_source = load_measured_baseline()
+    if workload == DEFAULT_WORKLOAD:
+        ref_sps, baseline_source = load_measured_baseline()
+    else:
+        ref_sps, baseline_source = None, (
+            "baseline measured for the flagship inpainting workload only")
     print(json.dumps({
-        "metric": METRIC,
+        "metric": _metric_name(workload),
         "value": round(samples_per_sec, 4),
         "unit": "samples/s",
         "vs_baseline": (round(samples_per_sec / ref_sps, 2)
@@ -242,8 +271,79 @@ def main():
     }))
 
 
+def grid() -> int:
+    """`python bench.py --grid`: measure every WORKLOADS row (one killable
+    subprocess each, same outage protocol as the default mode), write
+    RESULTS_GRID.json, and print one summary JSON line. A workload that
+    fails records an error row; the command exits 0 as long as the
+    transport was up (so a partial grid is still recorded)."""
+    window = float(os.environ.get("KDIP_BENCH_PROBE_WINDOW", "1800"))
+    probe_timeout = float(os.environ.get("KDIP_BENCH_PROBE_TIMEOUT", "180"))
+    run_timeout = float(os.environ.get("KDIP_BENCH_RUN_TIMEOUT", "2400"))
+
+    t0, attempts, up = time.time(), 0, False
+    while True:
+        attempts += 1
+        up = _probe_transport(probe_timeout)
+        elapsed = time.time() - t0
+        print(f"[bench-grid] transport probe {attempts}: "
+              f"{'UP' if up else 'down'} ({elapsed:.0f}s elapsed)",
+              file=sys.stderr)
+        if up or elapsed + 45 + probe_timeout > window:
+            break
+        time.sleep(45)
+    if not up:
+        print(json.dumps({"grid": None,
+                          "error": "tpu-transport-unavailable",
+                          "probe_attempts": attempts}))
+        return 1
+
+    rows = {}
+    for name in WORKLOADS:
+        env = dict(os.environ)
+        env["KDIP_BENCH_CHILD"] = "1"
+        env["KDIP_BENCH_WORKLOAD"] = name
+        t1 = time.time()
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=run_timeout,
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            rows[name] = {"error": f"timeout after {run_timeout:.0f}s"}
+            print(f"[bench-grid] {name}: TIMEOUT", file=sys.stderr)
+            continue
+        json_lines = [ln for ln in r.stdout.splitlines()
+                      if ln.startswith("{") and '"metric"' in ln]
+        if r.returncode == 0 and json_lines:
+            rows[name] = json.loads(json_lines[-1])
+            rows[name]["wall_s"] = round(time.time() - t1, 1)
+            print(f"[bench-grid] {name}: {rows[name]['value']} samples/s, "
+                  f"cg_max_residual={rows[name].get('cg_max_residual')}",
+                  file=sys.stderr)
+        else:
+            tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+            rows[name] = {"error": (" | ".join(tail))[-500:]}
+            print(f"[bench-grid] {name}: FAILED", file=sys.stderr)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "RESULTS_GRID.json")
+    doc = {"config": f"FFHQ-256 guided {STEPS}-step stochastic Heun, "
+                     f"Type-I guidance, batch {BATCH}, one v5e chip",
+           "rows": rows}
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({
+        "grid": {k: (v.get("value"), v.get("cg_max_residual"))
+                 for k, v in rows.items()},
+        "written": "RESULTS_GRID.json",
+    }))
+    return 0
+
+
 if __name__ == "__main__":
     if os.environ.get("KDIP_BENCH_CHILD") == "1":
         main()
+    elif "--grid" in sys.argv:
+        sys.exit(grid())
     else:
         sys.exit(outage_protocol())
