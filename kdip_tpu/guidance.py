@@ -641,11 +641,29 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
             return out, {"cg_resid": resid}
         return out
 
+    def loglikelihood(x, sigma, key, lanczos_iters: int = 25):
+        """Scalar log p(y | x0 moments at (x, sigma)) — the value surface of
+        the reference's `ConditionDenoiser.loglikelihood`
+        (condition.py:77-81: gpytorch MultivariateNormal.log_prob over the
+        lazy likelihood covariance). Evaluated fully on-device by CG (quad
+        term) + stochastic Lanczos quadrature (logdet); see
+        autoi.measurement_loglikelihood. Returns (ll, cg_rel_resid).
+        Diagnostic only: no guidance mode consumes the value (the reference
+        too uses only its gradient, taken in closed form in autoi.py)."""
+        from .autoi import measurement_loglikelihood
+        x0_mean, aux, mean_vjp = _moments_and_vjp(x, sigma)
+        x0_var, theta0_var = _variances(aux, sigma, mean_vjp, x.shape)
+        svar = _solver_var(x0_var, theta0_var)
+        return measurement_loglikelihood(operator, ortho_tf, y, x0_mean,
+                                         svar, cfg, key,
+                                         lanczos_iters=lanczos_iters)
+
     if guidance in impls:
         fn = impls[guidance]
 
         def denoise(x, sigma, key=None):
             return _finish(*fn(x, sigma, key))
+        denoise.loglikelihood = loglikelihood
         return denoise
 
     if guidance in ("dps+mle", "pgdm+mle", "stsl+mle"):
@@ -657,6 +675,7 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
                                   lambda operand: base(*operand),
                                   (x, sigma, key))
             return _finish(out, resid)
+        denoise.loglikelihood = loglikelihood
         return denoise
 
     raise ValueError(f"Invalid guidance type: '{guidance}'.")
