@@ -174,6 +174,11 @@ def main():
     model = adm.ffhq_unet(dtype=jnp.bfloat16, winograd=wino)
     params = model.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)),
                         jnp.zeros((1,)))["params"]
+    # Pre-cast the torso kernels to bf16 once (numerically identical to the
+    # per-use promote_dtype casts; kills the f32 weight-pack stream the vjp
+    # byte audit found — RESULTS_VJP_AUDIT.json). KDIP_BENCH_PRECAST=0 for A/B.
+    if os.environ.get("KDIP_BENCH_PRECAST", "1") == "1":
+        params = K.utils.precast_inference_params(params)
     tables = K.diffusion.make_diffusion(1000, "linear")
 
     def model_apply(p, x, t):
@@ -187,7 +192,13 @@ def main():
     # cg_maxiter=None resolves to the reference's 1000-iter budget;
     # converging solves exit the while_loop early so this only spends
     # iterations where a smaller cap would silently truncate
-    gcfg = K.guidance.GuidanceConfig(guidance="I", x0_cov_type=cov)
+    # KDIP_BENCH_REMAT selects the vjp remat policy for A/B: "" (off,
+    # default — measured fastest), "1" (full remat), or a policy name like
+    # "conv_dots" (save MXU outputs, recompute elementwise chains).
+    remat = os.environ.get("KDIP_BENCH_REMAT", "")
+    remat = True if remat == "1" else (remat or False)
+    gcfg = K.guidance.GuidanceConfig(guidance="I", x0_cov_type=cov,
+                                     remat_vjp=remat)
     scfg = K.sampling_api.SamplerConfig(steps=STEPS)
     sampler = K.sampling_api.build_posterior_sampler(model_apply, tables, op,
                                                      gcfg, scfg)

@@ -172,6 +172,17 @@ def main(argv=None):
         else:
             params = ckpt.convert_adm_state_dict(sd)
 
+    if dtype == jnp.bfloat16 and not native_v2:
+        # ADM/openai torsos run bf16 compute: one tree-level cast instead of
+        # per-use promote_dtype casts is numerically identical and removes
+        # the f32 weight-pack stream inside the sampling loop
+        # (RESULTS_VJP_AUDIT.json; GroupNorm scale/bias stay f32 for the
+        # f32-statistics islands). The native kdiff models ignore the torso
+        # dtype (f32 math throughout), so casting THEIR params would change
+        # numerics — excluded.
+        from ..utils import precast_inference_params
+        params = precast_inference_params(params)
+
     if native_v2:
         n_mapping = 9 if model_config.get("augment_wrapper") else 0
 

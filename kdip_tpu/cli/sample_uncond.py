@@ -55,6 +55,12 @@ def main(argv=None):
         params = ckpt.convert_adm_state_dict(
             ckpt.load_torch_checkpoint(args.checkpoint))
 
+    if dtype == jnp.bfloat16:
+        # numerically identical hoist of flax's per-use bf16 casts; kills
+        # the per-NFE f32 weight-pack stream (RESULTS_VJP_AUDIT.json)
+        from ..utils import precast_inference_params
+        params = precast_inference_params(params)
+
     def model_fn(x, t):
         t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
         return model.apply({"params": params}, x, t)

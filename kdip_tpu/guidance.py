@@ -25,10 +25,11 @@ diffpir, tmpd; plus the V2 learned (DWT/DCT) heads.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from . import diffusion as diff
@@ -89,12 +90,34 @@ class GuidanceConfig:
     # recompute graph and the scheduler loses the overlap it had with saved
     # activations. Default OFF; the knob exists for workloads whose vjp is
     # consumed once outside control flow.
-    remat_vjp: bool = False
+    #
+    # True = full remat. The string "conv_dots" = selective: save only
+    # conv/dot (MXU) outputs and recompute elementwise chains (GroupNorm
+    # applies, SiLU, converts) in the backward pass — the byte-heavy
+    # residuals are exactly the cheap-to-recompute ones (round-5 vjp byte
+    # audit). Any jax.checkpoint_policies name is also accepted.
+    remat_vjp: Any = False
 
 
 def resolved_cg_maxiter(cfg: "GuidanceConfig") -> int:
     """The effective CG iteration budget (see GuidanceConfig.cg_maxiter)."""
     return 1000 if cfg.cg_maxiter is None else cfg.cg_maxiter
+
+
+def _remat_policy(spec):
+    """Resolves GuidanceConfig.remat_vjp to a jax.checkpoint policy.
+
+    True -> None (full remat: save nothing). "conv_dots" -> save every MXU
+    output (conv_general_dilated / dot_general) and recompute only the
+    elementwise chains between them — the byte-heavy saved residuals the
+    round-5 vjp audit found are exactly those cheap chains. Any other
+    string -> the same-named member of jax.checkpoint_policies."""
+    if spec is True:
+        return None
+    if spec == "conv_dots":
+        return lambda prim, *_, **__: prim.name in (
+            "conv_general_dilated", "dot_general")
+    return getattr(jax.checkpoint_policies, spec)
 
 
 def mle_var(sigma):
@@ -312,8 +335,12 @@ def _cg(matvec, b, cfg: GuidanceConfig, M=None):
     return x, rel.astype(jnp.float32)
 
 
-# residual reported by closed-form (exact) solves
-_NO_RESID = jnp.float32(0.0)
+# Residual reported by closed-form (exact) solves. A numpy scalar, NOT a
+# jnp array: a module-level jnp constant would initialize the XLA backend
+# at import time, which forbids jax.distributed.initialize() afterwards
+# (importing the package must never touch a backend — multihost processes
+# import kdip_tpu.parallel.dist first and rendezvous before any jax op).
+_NO_RESID = np.float32(0.0)
 
 
 def inpainting_mat(op: InpaintingOperator, y, x0_mean, theta0_var, ortho_tf,
@@ -504,7 +531,7 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
         pred = lambda xx: uncond_pred(params, xx, sigma)
         if cfg.remat_vjp:
             # See GuidanceConfig.remat_vjp for the measured tradeoff.
-            pred = jax.checkpoint(pred)
+            pred = jax.checkpoint(pred, policy=_remat_policy(cfg.remat_vjp))
         (x0_mean, aux), vjp_fn = jax.vjp(pred, x)
         # vjp_fn takes cotangents for (x0_mean, aux); zero the aux cotangent.
         zero_aux = jax.tree.map(jnp.zeros_like, aux)

@@ -94,6 +94,22 @@ def test_sample_condition_cli_dps(tiny_env):
     assert np.isfinite(avg["psnr"])
 
 
+def test_sample_condition_cli_bf16_precast(tiny_env):
+    """The default bf16 dtype routes params through precast_inference_params
+    (one tree-level cast; bit-identical to per-use promote_dtype casts) —
+    the run must stay finite and produce metrics like the f32 path."""
+    from kdip_tpu.cli import sample_condition
+
+    logdir = str(tiny_env["root"] / "logs_bf16")
+    avg = sample_condition.main([
+        "--checkpoint", tiny_env["ckpt"], "--config", tiny_env["config"],
+        "--operator-config", tiny_env["op"], "--logdir", logdir,
+        "--steps", "3", "--guidance", "I", "--xstart-cov-type", "convert",
+        "--cg-maxiter", "20", "--max-images", "1",
+        "--dtype", "bfloat16"])
+    assert np.isfinite(avg["psnr"])
+
+
 def test_sample_uncond_cli(tiny_env):
     from kdip_tpu.cli import sample_uncond
     base = ["--checkpoint", tiny_env["ckpt"], "--config", tiny_env["config"],
