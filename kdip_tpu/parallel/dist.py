@@ -26,7 +26,8 @@ from typing import Any, Optional
 
 import jax
 
-__all__ = ["setup_dist", "dev", "load_state_dict", "sync_params"]
+__all__ = ["setup_dist", "dev", "load_state_dict", "sync_params",
+           "barrier", "warmup_collectives"]
 
 
 def setup_dist(coordinator_address: Optional[str] = None,
@@ -105,6 +106,48 @@ def setup_dist(coordinator_address: Optional[str] = None,
 def dev():
     """The default accelerator device (ref: dist_util.py:45-51)."""
     return jax.devices()[0]
+
+
+_barrier_seq = [0]
+
+
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Align all processes at a named point through the distributed
+    KV store (the coordination service — no XLA program, no gloo/ICI
+    collective, and a timeout we control). No-op single-process.
+
+    A sequence number is appended so the same call site can be reached
+    repeatedly without reusing a completed barrier id.
+    """
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is None:
+        return
+    _barrier_seq[0] += 1
+    client.wait_at_barrier(f"kdip_{name}_{_barrier_seq[0]}",
+                           timeout_in_ms=timeout_ms)
+
+
+def warmup_collectives() -> None:
+    """Establish the cross-process collective transport while all
+    processes are in lockstep.
+
+    On CPU the collective backend is gloo, whose TCP full-mesh connect
+    runs inside the FIRST executed collective with a fixed ~30 s timeout
+    (no jax/XLA knob exposes it). If processes reach that first
+    collective minutes apart — e.g. each spent minutes compiling on an
+    oversubscribed host — the early ones time out waiting for the late
+    ones and the whole program fails. This helper removes the skew: a
+    KV-store barrier (long, controllable timeout) brings every process
+    to the same point, then a trivial psum whose compile is sub-second
+    creates the gloo context; subsequent programs reuse the cached
+    communicator. No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return
+    barrier("warmup_enter")
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("kdip_warmup_collectives")
 
 
 def _broadcast_bytes(data: Optional[bytes]) -> bytes:

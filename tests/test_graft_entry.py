@@ -1,13 +1,21 @@
-"""Pins the outage-proofing of the driver entry points (VERDICT r3 #1).
+"""Pins the outage-proofing of the driver entry points (VERDICT r3 #1,
+r4 #1).
 
 The round-3 MULTICHIP artifact went red (rc=124) because the parent process
 of `dryrun_multichip` called `len(jax.devices())`, initializing the axon TPU
 backend — which, with the transport down, hangs indefinitely instead of
-erroring. The contract pinned here: the parent decides the self-provision
-path purely from the environment (parallel/dist.py:47-50's rule) and never
-queries a jax backend.
+erroring. Round 4 went red (rc=1) because a half-registered axon PJRT
+client raised mid-dispatch in the child. The contract pinned here:
+
+- the parent never imports jax at all — it decides everything from the
+  environment and subprocess spawns;
+- the child env is hermetic: every AXON_/PALLAS_/TPU_/LIBTPU hook dropped,
+  the axon site dir stripped from PYTHONPATH, cpu platform forced;
+- the parent always emits exactly one structured JSON status line;
+- the full dryrun survives a black-holed axon transport end-to-end.
 """
 
+import json
 import os
 import subprocess
 import sys
@@ -20,58 +28,102 @@ sys.path.insert(0, REPO_ROOT) if REPO_ROOT not in sys.path else None
 import __graft_entry__ as ge  # noqa: E402
 
 
-def test_cpu_mesh_available_is_env_only(monkeypatch):
-    """_cpu_mesh_available answers from env vars alone."""
-    monkeypatch.delenv("KDIP_DRYRUN_IN_CHILD", raising=False)
-    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
-    monkeypatch.setenv("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-    assert ge._cpu_mesh_available(8)
-    assert not ge._cpu_mesh_available(16)
-    monkeypatch.setenv("XLA_FLAGS", "")
-    assert not ge._cpu_mesh_available(2)
-    # TPU/axon platform: never enough local devices, always self-provision
-    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
-    monkeypatch.setenv("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-    assert not ge._cpu_mesh_available(8)
-    # a provisioned child short-circuits regardless of its local flags
-    monkeypatch.setenv("KDIP_DRYRUN_IN_CHILD", "1")
-    monkeypatch.setenv("XLA_FLAGS", "")
-    assert ge._cpu_mesh_available(64)
+def test_scrubbed_env_is_hermetic(monkeypatch):
+    """_scrubbed_cpu_env drops every axon/TPU hook, strips the axon site
+    dir from PYTHONPATH, forces the cpu platform, and REPLACES any stale
+    device-count flag rather than appending after it."""
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    monkeypatch.setenv("AXON_LOOPBACK_RELAY", "1")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "a,b")
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", "x")
+    monkeypatch.setenv("PYTHONPATH",
+                       os.pathsep.join(["/root/.axon_site", "/keep/me"]))
+    monkeypatch.setenv(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=2 --xla_f=1")
+
+    env = ge._scrubbed_cpu_env(8)
+
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert not any(k.startswith(("AXON_", "PALLAS_", "TPU_", "LIBTPU"))
+                   for k in env)
+    assert "/keep/me" in env["PYTHONPATH"]
+    assert ".axon_site" not in env["PYTHONPATH"]
+    assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+    assert "device_count=2" not in env["XLA_FLAGS"]
+    assert "--xla_f=1" in env["XLA_FLAGS"]  # unrelated flags preserved
 
 
-def test_parent_never_touches_jax_backend(monkeypatch):
-    """With an un-provisioned environment, dryrun_multichip must reach its
-    subprocess spawn WITHOUT any jax backend query — pinned by poisoning
-    jax.devices (the exact call that hung round 3)."""
-    monkeypatch.delenv("KDIP_DRYRUN_IN_CHILD", raising=False)
-    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+def test_parent_never_imports_jax(monkeypatch, capsys):
+    """The parent side reaches both subprocess spawns without importing
+    jax (the round-3 hang was a backend query with the transport down),
+    hands the single-process child a hermetic cpu env, and ends with one
+    structured status line."""
+    assert not hasattr(ge, "jax"), (
+        "__graft_entry__ must not import jax at module level — the parent "
+        "side of dryrun_multichip has to work with the TPU transport dead")
     monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.255.255.1")
 
-    def poisoned(*a, **k):
-        raise AssertionError("parent initialized a jax backend")
+    calls = []
 
-    monkeypatch.setattr(ge.jax, "devices", poisoned)
-    monkeypatch.setattr(ge.jax, "local_devices", poisoned, raising=False)
-
-    captured = {}
-
-    def fake_run(cmd, env=None, cwd=None):
-        captured["cmd"], captured["env"] = cmd, env
+    def fake_run(argv, env=None, cwd=None, timeout=None,
+                 capture_output=None, text=None):
+        calls.append((list(argv), dict(env)))
 
         class R:
             returncode = 0
+            stdout = "dryrun check fake: OK\n"
+            stderr = ""
 
         return R()
 
     monkeypatch.setattr(ge.subprocess, "run", fake_run)
     ge.dryrun_multichip(8)
 
-    env = captured["env"]
+    argv, env = calls[0]
+    assert argv[-2:] == ["multichip", "8"]
     assert env["JAX_PLATFORMS"] == "cpu"
     assert env["KDIP_DRYRUN_IN_CHILD"] == "1"
     assert "PALLAS_AXON_POOL_IPS" not in env
     assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
-    assert captured["cmd"][-2:] == ["multichip", "8"]
+
+    # the multihost rendezvous stage runs as its own spawn (VERDICT r4 #6)
+    argv2, _ = calls[1]
+    assert argv2[-3:] == ["multiproc", "2", "4"]
+
+    # exactly one structured status line, ok=true (VERDICT r4 #1a)
+    status_lines = [ln for ln in capsys.readouterr().out.splitlines()
+                    if ln.startswith("{")]
+    assert len(status_lines) == 1
+    status = json.loads(status_lines[0])
+    assert status == {**status, "dryrun": "multichip", "ok": True,
+                      "stage": "complete", "n_devices": 8}
+
+
+def test_failed_stage_still_emits_status(monkeypatch, capsys):
+    """A child failure must still produce the structured line — with
+    ok=false, the failing stage, and the child's tail — so the recorded
+    artifact distinguishes env outage from code failure."""
+    def fake_run(argv, env=None, cwd=None, timeout=None,
+                 capture_output=None, text=None):
+        class R:
+            returncode = 3
+            stdout = ""
+            stderr = "boom: transport unreachable"
+
+        return R()
+
+    monkeypatch.setattr(ge.subprocess, "run", fake_run)
+    with pytest.raises(RuntimeError, match="single-process stage failed"):
+        ge.dryrun_multichip(8)
+
+    status_lines = [ln for ln in capsys.readouterr().out.splitlines()
+                    if ln.startswith("{")]
+    assert len(status_lines) == 1
+    status = json.loads(status_lines[0])
+    assert status["ok"] is False
+    assert status["stage"] == "single-process"
+    assert "transport unreachable" in status["tail"]
+    assert status["attempts"] >= 2  # bounded retry happened
 
 
 @pytest.mark.slow
