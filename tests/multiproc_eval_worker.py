@@ -40,6 +40,9 @@ def main():
 
     assert jax.process_count() == nproc
     assert jax.device_count() == 8  # 2 procs x 4 local, or 1 proc x 8
+    # establish gloo while the workers are in lockstep (see
+    # dist.warmup_collectives: its TCP connect timeout is fixed ~30s)
+    dist.warmup_collectives()
 
     # ---- part A: the real evaluate CLI over the global mesh ----
     from kdip_tpu.cli import evaluate

@@ -37,6 +37,9 @@ def main():
     assert jax.process_count() == nproc, jax.process_count()
     assert jax.local_device_count() == 4, jax.local_device_count()
     assert jax.device_count() == 4 * nproc, jax.device_count()
+    # establish gloo while the workers are in lockstep (see
+    # dist.warmup_collectives: its TCP connect timeout is fixed ~30s)
+    dist.warmup_collectives()
 
     # Only process 0 may touch storage: give every other process a path
     # that does not exist — if it tried a local read instead of receiving

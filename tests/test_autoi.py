@@ -91,8 +91,10 @@ def test_autoi_matches_dense_oracle(setup):
     from kdip_tpu.autoi import auto_type_I_guidance
     uncond, var_fn = guidance.make_openai_uncond(model_apply, tables, cfg)
     ortho_tf = OrthoTransform(cfg.ortho_tf_type)
-    hat_x0 = auto_type_I_guidance(uncond, var_fn, op, meas.y, cfg, params, x,
-                                  sigma, jax.random.key(4), ortho_tf)
+    hat_x0, cg_resid = auto_type_I_guidance(uncond, var_fn, op, meas.y, cfg,
+                                            params, x, sigma,
+                                            jax.random.key(4), ortho_tf)
+    assert float(cg_resid) < 1e-4  # every K^{-1} solve converged
     x0_mean, _ = uncond(params, x, sigma)
     score = (hat_x0 - x0_mean) / sigma ** 2
 
@@ -123,8 +125,10 @@ def test_autoi_matches_dense_oracle_dct(setup):
     from kdip_tpu.autoi import auto_type_I_guidance
     uncond, var_fn = guidance.make_openai_uncond(model_apply, tables, cfg)
     ortho_tf = OrthoTransform(cfg.ortho_tf_type)
-    hat_x0 = auto_type_I_guidance(uncond, var_fn, op, meas.y, cfg, params, x,
-                                  sigma, jax.random.key(6), ortho_tf)
+    hat_x0, cg_resid = auto_type_I_guidance(uncond, var_fn, op, meas.y, cfg,
+                                            params, x, sigma,
+                                            jax.random.key(6), ortho_tf)
+    assert float(cg_resid) < 1e-4  # every K^{-1} solve converged
     x0_mean, _ = uncond(params, x, sigma)
     score = (hat_x0 - x0_mean) / sigma ** 2
 
