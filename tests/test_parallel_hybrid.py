@@ -121,6 +121,12 @@ def test_dist_helpers_single_process(tmp_path, reference_path):
     params = dist.load_state_dict(str(pt))
     assert "time_embed_0" in params or len(params) > 0
 
+    # the collective-warmup helpers no-op without a distributed client /
+    # at one process (their multi-process behavior is executed in
+    # test_multiprocess_dist via the workers' warmup_collectives call)
+    dist.barrier("unit-test")
+    dist.warmup_collectives()
+
 
 def test_multiprocess_dist(tmp_path):
     """The multi-PROCESS path actually executes (VERDICT r2 next #2):
