@@ -197,8 +197,12 @@ def main():
     # "conv_dots" (save MXU outputs, recompute elementwise chains).
     remat = os.environ.get("KDIP_BENCH_REMAT", "")
     remat = True if remat == "1" else (remat or False)
+    # KDIP_BENCH_WARM=1 warm-starts each CG solve from the previous sampler
+    # step's iterate (GuidanceConfig.cg_warm_start) — same tol*|b| stopping
+    # rule, fewer iterations; the JSON then reports cg_total_iters.
+    warm = os.environ.get("KDIP_BENCH_WARM", "") == "1"
     gcfg = K.guidance.GuidanceConfig(guidance="I", x0_cov_type=cov,
-                                     remat_vjp=remat)
+                                     remat_vjp=remat, cg_warm_start=warm)
     scfg = K.sampling_api.SamplerConfig(steps=STEPS)
     sampler = K.sampling_api.build_posterior_sampler(model_apply, tables, op,
                                                      gcfg, scfg)
@@ -275,6 +279,8 @@ def main():
                        f"{2*STEPS-1} NFEs/sample; peak "
                        f"{os.environ.get('KDIP_PEAK_TFLOPS', '197')} "
                        f"bf16 TFLOP/s (v5e)") if flops_per_nfe else None,
+        **({"cg_warm_start": True,
+            "cg_total_iters": int(info["cg_total_iters"])} if warm else {}),
         **({"winograd": True,
             "note": "winograd cuts executed FLOPs 2.25x per 3x3 conv, so "
                     "mfu vs naive-conv peak understates MXU occupancy"}

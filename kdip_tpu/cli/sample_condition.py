@@ -96,6 +96,10 @@ def build_argparser():
     # GuidanceConfig.cg_maxiter — converging solves exit early, so the
     # larger cap only spends time where a smaller one would truncate)
     p.add_argument("--cg-maxiter", type=int, default=None)
+    # Warm-start each CG solve from the previous sampler step's iterate
+    # (GuidanceConfig.cg_warm_start): same tol*|b| stopping rule, fewer
+    # iterations. Guidance I/II with a tensor/switch covariance only.
+    p.add_argument("--cg-warm-start", action="store_true")
     # v2 (learned covariance; ref: sample_condition_openai_v2.py)
     p.add_argument("--v2", action="store_true",
                    help="DWT/DCT learned-covariance checkpoint path")
@@ -225,7 +229,8 @@ def main(argv=None):
         guidance=args.guidance, x0_cov_type=args.xstart_cov_type,
         mle_sigma_thres=mle_thres, zeta=args.zeta, lambda_=args.lam,
         eta=args.eta, num_hutchinson_samples=args.num_hutchinson_samples,
-        ortho_tf_type=ortho_tf_type, cg_maxiter=args.cg_maxiter)
+        ortho_tf_type=ortho_tf_type, cg_maxiter=args.cg_maxiter,
+        cg_warm_start=args.cg_warm_start)
     scfg = sampling_api.SamplerConfig(
         steps=args.steps, sigma_min=model_config["sigma_min"],
         sigma_max=model_config["sigma_max"],
@@ -340,6 +345,10 @@ def main(argv=None):
               f"{run_stats['cg_max_residual']:.3e} over the run "
               f"(tol {gcfg.cg_tol:g}, budget {budget} iters): {status}",
               flush=True)
+        if "cg_total_iters" in run_stats:
+            avg["cg_total_iters"] = run_stats["cg_total_iters"]
+            print(f"CG warm-start: {run_stats['cg_total_iters']} total "
+                  f"iterations across the run", flush=True)
     avg["wall_clock_per_image"] = (time.time() - t_start) / max(
         1, len(metrics_list))
     if "lpips" in avg:
@@ -391,6 +400,10 @@ def _run_images(args, batch, n_images, test_set, operator, jitted, params,
             run_stats["cg_max_residual"] = max(
                 run_stats.get("cg_max_residual", 0.0),
                 float(info["cg_max_residual"]))
+            if "cg_total_iters" in info:
+                run_stats["cg_total_iters"] = (
+                    run_stats.get("cg_total_iters", 0)
+                    + int(info["cg_total_iters"]))
 
         for bi, i in enumerate(idxs):
             if batch > 1:

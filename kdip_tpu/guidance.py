@@ -79,6 +79,17 @@ class GuidanceConfig:
     # default — silent truncation in the wide-dynamic-range tmpd regime
     # is exactly where a bad solve would corrupt results.
     cg_warn: bool = True
+    # Warm-start each CG solve from the previous sampler step's solution
+    # (an extension: the reference's scipy.sparse.linalg.cg always starts
+    # from zero, condition.py:343). Adjacent Karras steps solve nearly
+    # identical systems — theta0_var and the residual b drift slowly — so
+    # the previous u is a far better initial iterate than 0. The solve
+    # still converges to the same tolerance (tol * |b|), so results match
+    # the cold solve within cg_tol; only the iteration count drops. Wired
+    # through samplers.sample_heun / sample_euler via a solver-state carry;
+    # only meaningful for guidance I/II with a tensor/switch covariance
+    # (tmpd, convert, the V2 heads). Default OFF (reference semantics).
+    cg_warm_start: bool = False
     # autoI probe count for the stochastic trace term
     num_probes: int = 8
     # Rematerialize the denoiser in guidance VJPs (numerically identical).
@@ -254,14 +265,17 @@ def make_kdiff_v2_uncond(model_apply: Callable, cfg: GuidanceConfig,
 # pulled back through A^T where applicable (ref: condition.py:303-439)
 # ---------------------------------------------------------------------------
 
-def _cg_with_residual(matvec, b, tol, maxiter, M=None):
+def _cg_with_residual(matvec, b, tol, maxiter, M=None, x0=None):
     """Conjugate gradients mirroring jax.scipy.sparse.linalg.cg's update
     order exactly (jax/_src/scipy/sparse/linalg.py:103-136: same vdot
     precision, same dtype casts, same stopping rule), so iterates are
-    bit-identical to `jax_cg` — but additionally returning the loop-carried
-    residual norm^2 and the convergence threshold, which makes a
-    non-convergence check free (no extra matvec). Real arrays only.
-    Never differentiated through: every caller stop_gradients the result."""
+    bit-identical to `jax_cg` when x0 is None — but additionally returning
+    the loop-carried residual norm^2, the convergence threshold, and the
+    iteration count, which makes a non-convergence check free (no extra
+    matvec). x0 (default zeros, like scipy) supports warm-starting; the
+    stopping rule tol*|b| is unchanged, matching scipy's x0 semantics.
+    Real arrays only. Never differentiated through: every caller
+    stop_gradients the result."""
     from functools import partial
     rdot = partial(jnp.vdot, precision=lax.Precision.HIGHEST)
     m_identity = M is None
@@ -269,7 +283,7 @@ def _cg_with_residual(matvec, b, tol, maxiter, M=None):
         M = lambda v: v
     bs = rdot(b, b)
     atol2 = jnp.square(jnp.asarray(tol, bs.dtype)) * bs
-    x0 = jnp.zeros_like(b)
+    x0 = jnp.zeros_like(b) if x0 is None else x0.astype(b.dtype)
     r0 = b - matvec(x0)
     p0 = z0 = M(r0)
     gamma0 = rdot(r0, z0).astype(b.dtype)
@@ -291,10 +305,10 @@ def _cg_with_residual(matvec, b, tol, maxiter, M=None):
         p_ = z_ + beta_ * p
         return x_, r_, gamma_, p_, k + 1
 
-    x, r, gamma, _, _ = lax.while_loop(
+    x, r, gamma, _, k = lax.while_loop(
         cond_fun, body_fun, (x0, r0, gamma0, p0, 0))
     rs = gamma.real if m_identity else rdot(r, r)
-    return x, rs, atol2
+    return x, rs, atol2, k
 
 
 def _host_callbacks_supported() -> bool:
@@ -310,17 +324,18 @@ def _host_callbacks_supported() -> bool:
         return True
 
 
-def _cg(matvec, b, cfg: GuidanceConfig, M=None):
+def _cg(matvec, b, cfg: GuidanceConfig, M=None, x0=None, want_iters=False):
     """Runs CG and returns (x, rel_resid) where rel_resid = |r|/|b| at exit
     (0-for-0 when b == 0). The residual comes from the CG loop state, so
     surfacing it is free (no extra matvec); callers thread it out through
     the sampler so truncated solves are VISIBLE on hardware without host
     callbacks (VERDICT r4 #2 — the axon plugin cannot lower
     jax.debug.print, which used to compile the warning out exactly on the
-    real chip)."""
-    x, rs, atol2 = _cg_with_residual(
+    real chip). x0 warm-starts the solve (see GuidanceConfig.cg_warm_start);
+    want_iters=True appends the iteration count: (x, rel_resid, iters)."""
+    x, rs, atol2, k = _cg_with_residual(
         matvec, b, cfg.cg_tol, resolved_cg_maxiter(cfg),
-        M=M if cfg.cg_precondition else None)
+        M=M if cfg.cg_precondition else None, x0=x0)
     bs = atol2 / jnp.square(jnp.asarray(cfg.cg_tol, rs.dtype))
     rel = jnp.sqrt(rs / jnp.maximum(bs, jnp.finfo(rs.dtype).tiny))
     if cfg.cg_warn and _host_callbacks_supported():
@@ -332,6 +347,8 @@ def _cg(matvec, b, cfg: GuidanceConfig, M=None):
                 "CG did not converge in {m} iters: |r|/|b| = {r}",
                 m=resolved_cg_maxiter(cfg), r=rel),
             lambda: None)
+    if want_iters:
+        return x, rel.astype(jnp.float32), k
     return x, rel.astype(jnp.float32)
 
 
@@ -343,14 +360,35 @@ def _cg(matvec, b, cfg: GuidanceConfig, M=None):
 _NO_RESID = np.float32(0.0)
 
 
+def _closed(mat, u0, want_state):
+    """Closed-form solver return: no CG ran, so the residual is exactly 0
+    and (with want_state) the warm-start carry u0 passes through unchanged
+    — keeping the state pytree identical across lax.cond branches."""
+    if want_state:
+        return mat, _NO_RESID, {"u": u0, "iters": jnp.asarray(0, jnp.int32)}
+    return mat, _NO_RESID
+
+
+def _via_cg(matvec, b, cfg, M, u0, want_state):
+    """CG solver return: (u, resid) or with want_state
+    (u, resid, {"u": u, "iters": k}) — u is the raw CG variable (the next
+    step's warm start), which callers may still post-process into mat."""
+    if want_state:
+        u, resid, k = _cg(matvec, b, cfg, M=M, x0=u0, want_iters=True)
+        return u, resid, {"u": u, "iters": jnp.asarray(k, jnp.int32)}
+    u, resid = _cg(matvec, b, cfg, M=M, x0=u0)
+    return u, resid
+
+
 def inpainting_mat(op: InpaintingOperator, y, x0_mean, theta0_var, ortho_tf,
-                   iso: bool, cfg: GuidanceConfig):
+                   iso: bool, cfg: GuidanceConfig, *, u0=None,
+                   want_state=False):
     """(ref: condition.py:317-348)"""
     mask = op.mask
     sigma_s = jnp.clip(op.sigma_s, min=0.001)
     b = mask * y - mask * x0_mean
     if iso:
-        return b / (sigma_s ** 2 + theta0_var), _NO_RESID
+        return _closed(b / (sigma_s ** 2 + theta0_var), u0, want_state)
     ot, iot = ortho_tf, ortho_tf.inv
 
     def matvec(v):
@@ -364,11 +402,11 @@ def inpainting_mat(op: InpaintingOperator, y, x0_mean, theta0_var, ortho_tf,
     def precond(v):
         return v / (sigma_s ** 2 + mask * theta_bar)
 
-    return _cg(matvec, b, cfg, M=precond)
+    return _via_cg(matvec, b, cfg, precond, u0, want_state)
 
 
 def deblur_mat(op: BlurOperator, y, x0_mean, theta0_var, ortho_tf,
-               iso: bool, cfg: GuidanceConfig):
+               iso: bool, cfg: GuidanceConfig, *, u0=None, want_state=False):
     """(ref: condition.py:351-398)"""
     sigma_s = jnp.clip(op.sigma_s, min=0.001)
     FB, FBC, F2B = op.FB, op.FBC, op.F2B
@@ -376,7 +414,7 @@ def deblur_mat(op: BlurOperator, y, x0_mean, theta0_var, ortho_tf,
         num = offt.fft2(y - offt.ifft2(FB[..., None] * offt.fft2(x0_mean)).real)
         mat = offt.ifft2(num / (sigma_s ** 2 + theta0_var * F2B[..., None])
                          * FBC[..., None]).real
-        return mat, _NO_RESID
+        return _closed(mat, u0, want_state)
     ot, iot = ortho_tf, ortho_tf.inv
     b = y - offt.ifft2(FB[..., None] * offt.fft2(x0_mean)).real
 
@@ -393,12 +431,14 @@ def deblur_mat(op: BlurOperator, y, x0_mean, theta0_var, ortho_tf,
         return offt.ifft2(offt.fft2(u)
                           / (sigma_s ** 2 + theta_bar * F2B[..., None])).real
 
-    u, resid = _cg(matvec, b, cfg, M=precond)
-    return offt.ifft2(FBC[..., None] * offt.fft2(u)).real, resid
+    out = _via_cg(matvec, b, cfg, precond, u0, want_state)
+    mat = offt.ifft2(FBC[..., None] * offt.fft2(out[0])).real
+    return (mat,) + out[1:]
 
 
 def super_resolution_mat(op: SuperResolutionOperator, y, x0_mean, theta0_var,
-                         ortho_tf, iso: bool, cfg: GuidanceConfig):
+                         ortho_tf, iso: bool, cfg: GuidanceConfig, *,
+                         u0=None, want_state=False):
     """(ref: condition.py:401-439).
 
     Note the solver uses the FFT kernel representation of A (blur+downsample),
@@ -423,7 +463,7 @@ def super_resolution_mat(op: SuperResolutionOperator, y, x0_mean, theta0_var,
         num = offt.fft2(y - A_fft(x0_mean).real)
         denom = sigma_s ** 2 + theta0_var * invW[..., None]
         mat = offt.ifft2(FBC[..., None] * jnp.tile(num / denom, (1, sf, sf, 1))).real
-        return mat, _NO_RESID
+        return _closed(mat, u0, want_state)
     ot, iot = ortho_tf, ortho_tf.inv
     b = (y - A_fft(x0_mean).real)
 
@@ -444,12 +484,12 @@ def super_resolution_mat(op: SuperResolutionOperator, y, x0_mean, theta0_var,
         return offt.ifft2(offt.fft2(u)
                           / (sigma_s ** 2 + theta_bar * invW[..., None])).real
 
-    u, resid = _cg(matvec, b, cfg, M=precond)
-    return AT_fft(u).real, resid
+    out = _via_cg(matvec, b, cfg, precond, u0, want_state)
+    return (AT_fft(out[0]).real,) + out[1:]
 
 
 def colorization_mat(op, y, x0_mean, theta0_var, ortho_tf, iso: bool,
-                     cfg: GuidanceConfig):
+                     cfg: GuidanceConfig, *, u0=None, want_state=False):
     """v solver for A = channel mean (an extension: the reference registers
     no mat solver for its ColorizationOperator, so Type I/II guidance is
     unavailable there). A A^T = I/3, so the isotropic solve is closed-form;
@@ -459,7 +499,7 @@ def colorization_mat(op, y, x0_mean, theta0_var, ortho_tf, iso: bool,
     if iso:
         u = b / (sigma_s ** 2 + theta0_var / 3.0)
         # A^T u = repeat(u)/3, x-space like the others
-        return op.transpose(u), _NO_RESID
+        return _closed(op.transpose(u), u0, want_state)
     ot, iot = ortho_tf, ortho_tf.inv
 
     def matvec(u):
@@ -472,25 +512,46 @@ def colorization_mat(op, y, x0_mean, theta0_var, ortho_tf, iso: bool,
     def precond(u):
         return u / (sigma_s ** 2 + theta_bar / 3.0)
 
-    u, resid = _cg(matvec, b, cfg, M=precond)
-    return jnp.repeat(u, 3, axis=-1) / 3.0, resid
+    out = _via_cg(matvec, b, cfg, precond, u0, want_state)
+    return (jnp.repeat(out[0], 3, axis=-1) / 3.0,) + out[1:]
 
 
-def mat_solver(op, y, x0_mean, theta0_var, ortho_tf, iso: bool, cfg: GuidanceConfig):
+def mat_solver(op, y, x0_mean, theta0_var, ortho_tf, iso: bool,
+               cfg: GuidanceConfig, *, u0=None, want_state=False):
     """Registry dispatch (static on operator type, ref: condition.py:307-314).
 
     Every solver returns (mat, rel_resid): the solve result plus the CG
-    relative residual |r|/|b| at exit (0.0 on the closed-form paths)."""
+    relative residual |r|/|b| at exit (0.0 on the closed-form paths).
+    want_state=True appends {"u": raw CG variable, "iters": count} for the
+    warm-start carry (see GuidanceConfig.cg_warm_start); u0 seeds the CG."""
+    kw = dict(u0=u0, want_state=want_state)
     name = op.name
     if name == "inpainting":
-        return inpainting_mat(op, y, x0_mean, theta0_var, ortho_tf, iso, cfg)
+        return inpainting_mat(op, y, x0_mean, theta0_var, ortho_tf, iso, cfg, **kw)
     if name in ("gaussian_blur", "motion_blur"):
-        return deblur_mat(op, y, x0_mean, theta0_var, ortho_tf, iso, cfg)
+        return deblur_mat(op, y, x0_mean, theta0_var, ortho_tf, iso, cfg, **kw)
     if name == "super_resolution":
-        return super_resolution_mat(op, y, x0_mean, theta0_var, ortho_tf, iso, cfg)
+        return super_resolution_mat(op, y, x0_mean, theta0_var, ortho_tf, iso, cfg, **kw)
     if name == "colorization":
-        return colorization_mat(op, y, x0_mean, theta0_var, ortho_tf, iso, cfg)
+        return colorization_mat(op, y, x0_mean, theta0_var, ortho_tf, iso, cfg, **kw)
     raise NotImplementedError(f"no mat solver for operator '{name}'")
+
+
+def init_solver_state(op, x_shape):
+    """Zero warm-start state for `cg_warm_start`: a pytree matching the
+    solver's raw CG variable for operator `op` on images of shape x_shape
+    (NHWC). u lives in x-space for inpainting/deblur, in y-space (low-res)
+    for super-resolution, and is single-channel for colorization."""
+    import numpy as np  # shapes only; no jax op before dist init
+    B, H, W, C = x_shape
+    if op.name == "super_resolution":
+        sf = op.scale_factor
+        u = np.zeros((B, H // sf, W // sf, C), np.float32)
+    elif op.name == "colorization":
+        u = np.zeros((B, H, W, 1), np.float32)
+    else:
+        u = np.zeros((B, H, W, C), np.float32)
+    return {"u": u, "iters": np.asarray(0, np.int32)}
 
 
 # ---------------------------------------------------------------------------
@@ -575,6 +636,27 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
 
         return lax.cond(sigma < cfg.mle_sigma_thres, cg_branch, closed_branch,
                         (x0_mean, svar))
+
+    def _solve_ws(x0_mean, svar, sigma, u0):
+        """_solve with the warm-start carry: seeds CG with u0 and returns
+        (mat, resid, state) where state = {"u", "iters"}. Closed-form
+        branches pass u0 through so the lax.cond pytrees match."""
+        if kind == "tensor":
+            return mat_solver(operator, y, x0_mean, svar, ortho_tf, False,
+                              cfg, u0=u0, want_state=True)
+
+        def cg_branch(args):
+            x0m, sv, u_in = args
+            return mat_solver(operator, y, x0m, sv, ortho_tf, False, cfg,
+                              u0=u_in, want_state=True)
+
+        def closed_branch(args):
+            x0m, sv, u_in = args
+            return mat_solver(operator, y, x0m, mle_var(sigma), ortho_tf,
+                              True, cfg, u0=u_in, want_state=True)
+
+        return lax.cond(sigma < cfg.mle_sigma_thres, cg_branch, closed_branch,
+                        (x0_mean, svar, u0))
 
     # --- guidance implementations ---
 
@@ -662,6 +744,25 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
     impls = {"uncond": uncond, "I": type_I, "II": type_II, "dps": dps,
              "pgdm": pgdm, "diffpir": diffpir, "stsl": stsl, "autoI": auto_type_I}
 
+    def type_I_ws(x, sigma, key, st):
+        """type_I with the CG warm-start carry (GuidanceConfig.cg_warm_start):
+        the solve seeds from st["u"] — the previous sampler step's raw CG
+        iterate — and returns the new state for the next step."""
+        x0_mean, aux, mean_vjp = _moments_and_vjp(x, sigma)
+        x0_var, theta0_var = _variances(aux, sigma, mean_vjp, x.shape)
+        svar = _solver_var(x0_var, theta0_var)
+        mat, resid, state = _solve_ws(x0_mean, svar, sigma, st["u"])
+        score = mean_vjp(lax.stop_gradient(mat))[0]
+        return x0_mean + sigma ** 2 * score, resid, state
+
+    def type_II_ws(x, sigma, key, st):
+        """type_II with the CG warm-start carry (see type_I_ws)."""
+        x0_mean, aux, mean_vjp = _moments_and_vjp(x, sigma)
+        x0_var, theta0_var = _variances(aux, sigma, mean_vjp, x.shape)
+        svar = _solver_var(x0_var, theta0_var)
+        mat, resid, state = _solve_ws(x0_mean, svar, sigma, st["u"])
+        return x0_mean + ortho_tf.inv(ortho_tf(mat) * svar), resid, state
+
     def _finish(out, resid):
         out = jnp.clip(out, -1, 1)
         if with_info:
@@ -684,6 +785,26 @@ def make_condition_denoiser(uncond_pred: Callable, x0_var_fn: Callable, operator
         return measurement_loglikelihood(operator, ortho_tf, y, x0_mean,
                                          svar, cfg, key,
                                          lanczos_iters=lanczos_iters)
+
+    if cfg.cg_warm_start:
+        assert with_info, "cg_warm_start needs the info-returning denoiser"
+        assert guidance in ("I", "II"), (
+            f"cg_warm_start applies to guidance I/II (CG solves), "
+            f"not {guidance!r}")
+        assert kind != "iso", (
+            f"covariance {cfg.x0_cov_type!r} is closed-form (no CG); "
+            f"cg_warm_start has nothing to warm")
+        fn_ws = type_I_ws if guidance == "I" else type_II_ws
+
+        def denoise(x, sigma, key=None, solver_state=None):
+            out, resid, state = fn_ws(x, sigma, key, solver_state)
+            state = jax.tree.map(lax.stop_gradient, state)
+            return jnp.clip(out, -1, 1), {"cg_resid": resid,
+                                          "solver_state": state}
+        denoise.loglikelihood = loglikelihood
+        denoise.init_solver_state = (
+            lambda x_shape: init_solver_state(operator, x_shape))
+        return denoise
 
     if guidance in impls:
         fn = impls[guidance]

@@ -45,94 +45,136 @@ def _split3(key):
     return jax.random.split(key, 3)
 
 
-def _info_call(denoise: Callable, return_info: bool):
-    """Normalizes a denoiser to `(denoised, cg_resid)` calls. With
+def _info_call(denoise: Callable, return_info: bool, warm: bool = False):
+    """Normalizes a denoiser to `(denoised, cg_resid, state)` calls. With
     return_info, the denoiser must be info-returning (built with
     guidance.make_condition_denoiser(..., with_info=True)); otherwise the
-    residual slot is a constant 0 that folds away in compilation."""
-    if return_info:
-        def call(x, sigma, key):
+    residual slot is a constant 0 that folds away in compilation. warm=True
+    additionally threads the CG warm-start carry (the denoiser must be
+    built with GuidanceConfig.cg_warm_start and takes/returns
+    solver_state); otherwise the state slot passes through untouched — a
+    dummy scalar that also folds away."""
+    if warm:
+        def call(x, sigma, key, st):
+            denoised, info = denoise(x, sigma, key, solver_state=st)
+            return denoised, info["cg_resid"], info["solver_state"]
+    elif return_info:
+        def call(x, sigma, key, st):
             denoised, info = denoise(x, sigma, key)
-            return denoised, info["cg_resid"]
+            return denoised, info["cg_resid"], st
     else:
-        def call(x, sigma, key):
-            return denoise(x, sigma, key), jnp.float32(0.0)
+        def call(x, sigma, key, st):
+            return denoise(x, sigma, key), jnp.float32(0.0), st
     return call
 
 
 def sample_euler(denoise: Callable, x, sigmas, key, s_churn=0.0, s_tmin=0.0,
-                 s_tmax=float("inf"), s_noise=1.0, return_info=False):
+                 s_tmax=float("inf"), s_noise=1.0, return_info=False,
+                 solver_state=None):
     """Algorithm 2 (Euler steps) of Karras et al.
     (ref: k_diffusion/sampling.py:118-135).
 
     return_info=True expects an info-returning denoiser (see
     guidance.make_condition_denoiser with_info) and returns (x, info) with
     info["cg_max_residual"] = the worst CG relative residual over the whole
-    trajectory."""
+    trajectory. solver_state (a pytree from guidance.init_solver_state)
+    enables the CG warm-start carry: the denoiser must be built with
+    GuidanceConfig.cg_warm_start, and info additionally reports
+    "cg_total_iters" summed over the trajectory."""
     gammas = _churn_gammas(sigmas, s_churn, s_tmin, s_tmax)
-    call = _info_call(denoise, return_info)
+    warm = solver_state is not None
+    call = _info_call(denoise, return_info, warm=warm)
+    st0 = solver_state if warm else jnp.float32(0.0)
 
     def step(carry, inp):
-        x, key, worst = carry
+        x, key, worst, st, iters = carry
         sigma, sigma_next, gamma = inp
         key, k_churn, k_model = _split3(key)
         eps = jax.random.normal(k_churn, x.shape, x.dtype) * s_noise
         sigma_hat = sigma * (gamma + 1)
         bump = jnp.sqrt(jnp.maximum(sigma_hat ** 2 - sigma ** 2, 0.0))
         x = jnp.where(gamma > 0, x + eps * bump, x)
-        denoised, resid = call(x, sigma_hat, k_model)
+        denoised, resid, st = call(x, sigma_hat, k_model, st)
+        if warm:
+            iters = iters + jnp.sum(st["iters"])
         d = to_d(x, sigma_hat, denoised)
         x = x + d * (sigma_next - sigma_hat)
-        return (x, key, jnp.maximum(worst, resid)), None
+        return (x, key, jnp.maximum(worst, resid), st, iters), None
 
-    (x, _, worst), _ = lax.scan(step, (x, key, jnp.float32(0.0)),
-                                (sigmas[:-1], sigmas[1:], gammas))
+    (x, _, worst, _, iters), _ = lax.scan(
+        step, (x, key, jnp.float32(0.0), st0, jnp.int32(0)),
+        (sigmas[:-1], sigmas[1:], gammas))
     if return_info:
-        return x, {"cg_max_residual": worst}
+        info = {"cg_max_residual": worst}
+        if warm:
+            info["cg_total_iters"] = iters
+        return x, info
     return x
 
 
 def sample_heun(denoise: Callable, x, sigmas, key, s_churn=0.0, s_tmin=0.0,
-                s_tmax=float("inf"), s_noise=1.0, return_info=False):
+                s_tmax=float("inf"), s_noise=1.0, return_info=False,
+                solver_state=None):
     """Algorithm 2 (Heun steps) of Karras et al. — the reference's default
     guided sampler (ref: k_diffusion/sampling.py:159-184).
 
     return_info=True expects an info-returning denoiser (see
     guidance.make_condition_denoiser with_info) and returns (x, info) with
     info["cg_max_residual"] = the worst CG relative residual over the whole
-    trajectory."""
+    trajectory. solver_state (a pytree from guidance.init_solver_state)
+    enables the CG warm-start carry (GuidanceConfig.cg_warm_start): both
+    denoiser calls in a step seed from the latest solve — the corrector
+    call warm-starts from the predictor's iterate — and info additionally
+    reports "cg_total_iters" summed over the trajectory."""
     gammas = _churn_gammas(sigmas, s_churn, s_tmin, s_tmax)
-    call = _info_call(denoise, return_info)
+    warm = solver_state is not None
+    call = _info_call(denoise, return_info, warm=warm)
+    st0 = solver_state if warm else jnp.float32(0.0)
 
     def step(carry, inp):
-        x, key, worst = carry
+        x, key, worst, st, iters = carry
         sigma, sigma_next, gamma = inp
         key, k_churn, k_model, k_model2 = jax.random.split(key, 4)
         eps = jax.random.normal(k_churn, x.shape, x.dtype) * s_noise
         sigma_hat = sigma * (gamma + 1)
         bump = jnp.sqrt(jnp.maximum(sigma_hat ** 2 - sigma ** 2, 0.0))
         x = jnp.where(gamma > 0, x + eps * bump, x)
-        denoised, resid = call(x, sigma_hat, k_model)
+        denoised, resid, st = call(x, sigma_hat, k_model, st)
+        if warm:
+            iters = iters + jnp.sum(st["iters"])
         d = to_d(x, sigma_hat, denoised)
         dt = sigma_next - sigma_hat
 
-        def euler_branch(x):
-            return x + d * dt, jnp.float32(0.0)
+        def euler_branch(args):
+            x, st = args
+            if warm:
+                # no corrector solve ran: zero the per-call iter count so the
+                # post-cond accumulation doesn't re-add the predictor's
+                st = dict(st, iters=jnp.zeros_like(st["iters"]))
+            return x + d * dt, jnp.float32(0.0), st
 
-        def heun_branch(x):
+        def heun_branch(args):
+            x, st = args
             x_2 = x + d * dt
-            denoised_2, resid_2 = call(x_2, sigma_next, k_model2)
+            denoised_2, resid_2, st = call(x_2, sigma_next, k_model2, st)
             d_2 = to_d(x_2, sigma_next, denoised_2)
-            return x + (d + d_2) / 2 * dt, resid_2
+            return x + (d + d_2) / 2 * dt, resid_2, st
 
-        x, resid_2 = lax.cond(sigma_next == 0, euler_branch, heun_branch, x)
+        x, resid_2, st = lax.cond(sigma_next == 0, euler_branch, heun_branch,
+                                  (x, st))
+        if warm:
+            iters = iters + jnp.sum(st["iters"])
         worst = jnp.maximum(worst, jnp.maximum(resid, resid_2))
-        return (x, key, worst), None
+        return (x, key, worst, st, iters), None
 
-    (x, _, worst), _ = lax.scan(step, (x, key, jnp.float32(0.0)),
-                                (sigmas[:-1], sigmas[1:], gammas))
+    (x, _, worst, _, iters), _ = lax.scan(
+        step, (x, key, jnp.float32(0.0), st0, jnp.int32(0)),
+        (sigmas[:-1], sigmas[1:], gammas))
     if return_info:
-        return x, {"cg_max_residual": worst}
+        info = {"cg_max_residual": worst}
+        if warm:
+            info["cg_total_iters"] = iters
+        return x, info
     return x
 
 
@@ -379,7 +421,7 @@ def sample_dpmpp_2m(denoise: Callable, x, sigmas, key, return_info=False):
         x, old_denoised, key, worst = carry
         i, sigma_prev, sigma, sigma_next = inp
         key, k_model = jax.random.split(key)
-        denoised, resid = call(x, sigma, k_model)
+        denoised, resid, _ = call(x, sigma, k_model, jnp.float32(0.0))
         t, t_next = t_fn(sigma), t_fn(sigma_next)
         h = t_next - t
 

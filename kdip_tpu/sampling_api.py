@@ -73,6 +73,12 @@ def build_posterior_sampler(model_apply: Callable, tables: diff.DiffusionTables,
                   "dpmpp_2m": samplers.sample_dpmpp_2m}
     sampler_fn = sample_fns[sampler_cfg.sampler]
 
+    warm = guidance_cfg.cg_warm_start
+    if warm:
+        assert sampler_cfg.sampler in ("heun", "euler"), (
+            "cg_warm_start is wired through the heun/euler solver-state "
+            f"carry, not {sampler_cfg.sampler!r}")
+
     def sample(params, measurement: Measurement, key, n: int = 1,
                return_info: bool = False):
         """return_info=True additionally returns an info dict with
@@ -80,16 +86,42 @@ def build_posterior_sampler(model_apply: Callable, tables: diff.DiffusionTables,
         every likelihood solve in the trajectory — the on-device
         convergence signal replacing the reference's scipy warning
         (condition.py:344-345), which host-callback-less TPU plugins
-        cannot print."""
+        cannot print — and, with cg_warm_start, `cg_total_iters`, the CG
+        iteration total the warm carry is saving against."""
         denoise = gd.make_condition_denoiser(uncond, var_fn, operator,
                                              measurement, guidance_cfg,
                                              params=params, v2=v2,
-                                             with_info=return_info)
-        if (sampler_cfg.per_sample_map and n > 1
-                and measurement.y.shape[0] == 1):
+                                             with_info=return_info or warm)
+        mapped = (sampler_cfg.per_sample_map and n > 1
+                  and measurement.y.shape[0] == 1)
+        solver_state = None
+        if warm:
+            per_call = gd.init_solver_state(
+                operator, ((1 if mapped else n), image_size, image_size,
+                           channels))
+            if mapped:
+                # lax.map slices the leading axis: store one per-call state
+                # (batch dim 1) per sample
+                solver_state = jax.tree.map(
+                    lambda l: jnp.zeros((n,) + jnp.shape(l),
+                                        jnp.asarray(l).dtype), per_call)
+            else:
+                solver_state = jax.tree.map(jnp.asarray, per_call)
+        if mapped:
             inner = denoise
 
-            if return_info:
+            if warm:
+                def denoise(x, sigma, key=None, solver_state=None):  # noqa: F811
+                    def f(args):
+                        xi, sti = args
+                        out_i, info_i = inner(xi[None], sigma, key,
+                                              solver_state=sti)
+                        return (out_i[0], info_i["cg_resid"],
+                                info_i["solver_state"])
+                    out, resid, st = jax.lax.map(f, (x, solver_state))
+                    return out, {"cg_resid": jnp.max(resid),
+                                 "solver_state": st}
+            elif return_info:
                 def denoise(x, sigma, key=None):  # noqa: F811
                     out, info = jax.lax.map(
                         lambda xi: inner(xi[None], sigma, key), x)
@@ -105,8 +137,13 @@ def build_posterior_sampler(model_apply: Callable, tables: diff.DiffusionTables,
         if sampler_cfg.sampler in ("heun", "euler") and not sampler_cfg.ode:
             kwargs = dict(s_churn=sampler_cfg.s_churn, s_tmin=sampler_cfg.s_tmin,
                           s_tmax=sampler_cfg.s_tmax, s_noise=sampler_cfg.s_noise)
-        return sampler_fn(denoise, x, sigmas, k_samp, return_info=return_info,
-                          **kwargs)
+        if warm:
+            kwargs["solver_state"] = solver_state
+        out = sampler_fn(denoise, x, sigmas, k_samp,
+                         return_info=return_info or warm, **kwargs)
+        if warm and not return_info:
+            return out[0]
+        return out
 
     return sample
 
